@@ -1,0 +1,249 @@
+"""Config system: dataclass + loader compatible with the reference CLI.
+
+The reference (config.py:18-111) uses configargparse with ``--config`` text
+files of ``key = value`` lines plus bare boolean action flags
+(``bkg_white_true``, ``global_batch_false``, ``mode_test_false``,
+``mode_render_false``, ``colmap_relaunch_true``).  This module parses the
+very same files without the configargparse dependency, exposes every option
+under the same name, and adds TPU-specific knobs (mesh shape, precision,
+pallas toggle) that default to sensible values.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+LOG_DIR = os.path.join(
+    os.path.abspath(os.path.dirname(os.path.realpath(__file__))), os.pardir, "logs"
+)
+LOG_DIR = os.path.normpath(LOG_DIR)
+
+# Bare flag -> (dest, value); mirrors the reference's store_true/store_false
+# action args (reference config.py:39-44,69,80,85).
+_FLAG_ACTIONS = {
+    "bkg_white_true": ("bkg_white", True),
+    "colmap_relaunch_true": ("colmap_relaunch", True),
+    "global_batch_false": ("global_batch", False),
+    "mode_test_false": ("mode_test", False),
+    "mode_render_false": ("mode_render", False),
+}
+
+
+@dataclass
+class NerfConfig:
+    # == Visualization (reference uses visdom; we log to CSV/TensorBoard) ==
+    visdom: bool = False          # kept for config-file compat; ignored
+    visdom_port: int = 8900       # kept for config-file compat; ignored
+
+    # == Devices (reference config.py:28 `gpu_ids`; on TPU this is unused —
+    # the device mesh is controlled by n_data_shards/n_model_shards) ==
+    gpu_ids: List[int] = field(default_factory=lambda: [0])
+
+    # ====== Dataset (reference config.py:31-36)
+    data_type: str = "blender"    # [blender, llff, custom]
+    data_name: str = ""
+    data_root: str = ""
+    downsample: int = 0           # 0 disables downsampling
+    near: float = 2.0
+    far: float = 6.0
+
+    # ====== For blender (reference config.py:39-40)
+    bkg_white: bool = False
+
+    # ====== For colmap (reference config.py:43-44)
+    colmap_relaunch: bool = False
+
+    # ====== For precrop (reference config.py:47-48)
+    precrop_iters: int = 0
+    precrop_frac: float = 0.5
+
+    # ====== For custom (reference config.py:51)
+    video_batch: int = 30
+
+    # ====== Model (reference config.py:54-57)
+    L_x: int = 10
+    L_d: int = 4
+    netDepth: int = 8
+    netWidth: int = 256
+
+    # ====== Training (reference config.py:60-65)
+    exp_name: str = "exp"
+    lr: float = 5e-4
+    lr_min: float = 5e-5
+    iter_warmup: int = 10000
+    iter_N: int = 200000
+    iter_start: int = 0
+
+    # ====== Batch (reference config.py:68-76)
+    global_batch: bool = True
+    N_rays: int = 4096
+    N_samples_c: int = 64
+    N_samples_f: int = 128
+    chunk_rays: int = 4096        # ray-block size for full-frame renders
+    chunk_pts: int = 524288       # kept for compat; unused (XLA fuses points)
+    perturb: float = 1.0
+
+    # ====== Testing (reference config.py:79-81)
+    mode_test: bool = True
+    testskip: int = 8
+
+    # ====== Rendering (reference config.py:84-92)
+    mode_render: bool = True
+    render_type: str = "gif"      # mp4 | gif
+    n_angle: int = 120
+    single_angle: float = -1.0
+    phi: float = -30.0
+    nf: float = 4.0
+
+    # ====== only testing & rendering (reference config.py:95)
+    testing_idx: int = 0
+
+    # ====== Periodic indices (reference config.py:98-103)
+    idx_vis: int = 100
+    idx_print: int = 1000
+    idx_save: int = 100000
+    idx_test: int = 200000
+    idx_render: int = 200000
+    idx_vis_cam_param: int = 1000
+
+    # ====== TPU-native additions (no reference equivalent) ======
+    seed: int = 0
+    # matmul compute dtype for the MLP: "bfloat16" rides the MXU at full
+    # rate; "float32" for bit-exactness studies.
+    compute_dtype: str = "bfloat16"
+    # device mesh: rays shard across `data`, MLP width across `model`.
+    n_data_shards: int = 0        # 0 = all visible devices
+    n_model_shards: int = 1
+    use_pallas: bool = False      # fused Pallas render kernel (eval path)
+    log_dir: str = ""             # defaults to <repo>/logs
+    profile: bool = False         # emit a jax.profiler trace of a few steps
+    check_nans: bool = False      # enable jax_debug_nans (debugging)
+    lpips_weights: str = ""       # optional VGG16 weights .npz for LPIPS
+
+    # world_size mirrors reference config.py:106 (computed, informational)
+    @property
+    def world_size(self) -> int:
+        return max(1, self.n_data_shards) * max(1, self.n_model_shards)
+
+    @property
+    def logdir(self) -> str:
+        return self.log_dir or LOG_DIR
+
+    def validate(self) -> "NerfConfig":
+        assert self.data_type in ("blender", "llff", "custom"), self.data_type
+        assert self.render_type in ("gif", "mp4"), self.render_type
+        assert self.compute_dtype in ("bfloat16", "float32"), self.compute_dtype
+        assert self.N_samples_c > 0
+        assert self.iter_warmup < self.iter_N + 1
+        return self
+
+
+_FIELDS = {f.name: f for f in dataclasses.fields(NerfConfig)}
+
+
+def _coerce(name: str, raw: str):
+    """Coerce a raw config-file string to the dataclass field's type."""
+    f = _FIELDS[name]
+    raw = raw.strip()
+    if f.type in ("int", int):
+        return int(float(raw))
+    if f.type in ("float", float):
+        return float(raw)
+    if f.type in ("bool", bool):
+        return raw.lower() in ("yes", "true", "t", "y", "1")
+    if name == "gpu_ids":
+        return [int(x) for x in re.findall(r"-?\d+", raw)]
+    return raw  # str
+
+
+def parse_config_file(path: str) -> dict:
+    """Parse a reference-style ``key = value`` config text file.
+
+    Accepts inline ``#`` comments, bare action flags, and bracketed lists —
+    the exact dialect of /root/reference/configs/*/*.txt.
+    """
+    out = {}
+    with open(path) as fp:
+        for line in fp:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=" in line:
+                key, val = line.split("=", 1)
+                key = key.strip()
+                if key in _FLAG_ACTIONS:  # e.g. `bkg_white_true = true`
+                    dest, value = _FLAG_ACTIONS[key]
+                    out[dest] = value if _coerce_bool(val) else not value
+                elif key in _FIELDS:
+                    out[key] = _coerce(key, val)
+                else:
+                    raise KeyError(f"unknown config key {key!r} in {path}")
+            else:
+                key = line.strip()
+                if key in _FLAG_ACTIONS:
+                    dest, value = _FLAG_ACTIONS[key]
+                    out[dest] = value
+                else:
+                    raise KeyError(f"unknown bare flag {key!r} in {path}")
+    return out
+
+
+def _coerce_bool(raw: str) -> bool:
+    return raw.strip().lower() in ("yes", "true", "t", "y", "1")
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native NeRF (nerf_pytorch_paeng_tpu)", add_help=True
+    )
+    p.add_argument("--config", type=str, default=None, help="config file path")
+    for f in dataclasses.fields(NerfConfig):
+        if f.type in ("bool", bool):
+            p.add_argument(f"--{f.name}", type=str, default=None,
+                           help=f"bool (default {f.default})")
+        elif f.name == "gpu_ids":
+            p.add_argument("--gpu_ids", nargs="+", default=None)
+        else:
+            typ = int if f.type in ("int", int) else (
+                float if f.type in ("float", float) else str)
+            p.add_argument(f"--{f.name}", type=typ, default=None)
+    # reference-style action flags usable on the CLI too
+    for flag, (dest, value) in _FLAG_ACTIONS.items():
+        p.add_argument(f"--{flag}", dest=f"__flag_{flag}", action="store_true")
+    return p
+
+
+def load_config(argv: Optional[List[str]] = None) -> NerfConfig:
+    """CLI entry: precedence CLI > config file > dataclass defaults.
+
+    Mirrors reference config.py:18-111 (configargparse semantics).
+    """
+    parser = build_arg_parser()
+    ns = parser.parse_args(argv)
+    values: dict = {}
+    if ns.config:
+        values.update(parse_config_file(ns.config))
+    for f in dataclasses.fields(NerfConfig):
+        raw = getattr(ns, f.name, None)
+        if raw is None:
+            continue
+        if f.type in ("bool", bool):
+            values[f.name] = _coerce_bool(raw)
+        elif f.name == "gpu_ids":
+            values[f.name] = [int(x) for x in raw]
+        else:
+            values[f.name] = raw
+    for flag, (dest, value) in _FLAG_ACTIONS.items():
+        if getattr(ns, f"__flag_{flag}", False):
+            values[dest] = value
+    return NerfConfig(**values).validate()
+
+
+def config_from_file(path: str, **overrides) -> NerfConfig:
+    values = parse_config_file(path)
+    values.update(overrides)
+    return NerfConfig(**values).validate()

@@ -1,0 +1,160 @@
+"""The coarse→fine render pipeline as a single traced XLA program.
+
+Behavioral parity target: reference nerf_process.py:185-252
+(render_rays / batchify_rays_and_render_by_chunk).  Unlike the reference —
+which loops on the host over 4096-ray and 524288-point chunks — the whole
+pipeline here is one jit-traced function: stratified sampling, positional
+encoding, the coarse MLP, compositing, inverse-CDF fine sampling, the fine
+MLP and the second composite all fuse into one XLA program that keeps the
+~1M point activations on-chip and feeds the MXU with one large batched
+matmul per layer.
+
+Full-frame rendering (`render_frame`) blocks the 640k rays of an 800×800
+frame through `jax.lax.map` over fixed-size ray blocks purely to bound HBM
+working-set size — block size is a memory knob, not a host loop.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .posenc import positional_encoding
+from .rays import ndc_rays
+from .sampling import sample_pdf, stratified_z_vals
+from .volume import volume_render
+
+
+class RaysRender(NamedTuple):
+    rgb_c: jnp.ndarray
+    disp_c: jnp.ndarray
+    rgb_f: Optional[jnp.ndarray]
+    disp_f: Optional[jnp.ndarray]
+    acc_f: Optional[jnp.ndarray]
+    depth_f: Optional[jnp.ndarray]
+
+
+def _embed(pts: jnp.ndarray, viewdirs: jnp.ndarray, L_x: int, L_d: int):
+    """posenc(x) ‖ posenc(unit viewdir), flattened to [N*S, Cx+Cd]."""
+    n_rays, n_samples, _ = pts.shape
+    emb_x = positional_encoding(pts.reshape(-1, 3), L_x)
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape).reshape(-1, 3)
+    emb_d = positional_encoding(dirs, L_d)
+    return jnp.concatenate([emb_x, emb_d], axis=-1)
+
+
+def render_rays(
+    coarse_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    fine_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: jax.Array,
+    *,
+    near: float,
+    far: float,
+    n_coarse: int,
+    n_fine: int,
+    L_x: int,
+    L_d: int,
+    perturb: float = 1.0,
+    stratified: bool = True,
+    scan_impl: str = "cumprod",
+) -> RaysRender:
+    """Render a flat batch of rays through the coarse(+fine) pipeline.
+
+    Args:
+      coarse_fn/fine_fn: [P, C] embedded points -> [P, 4] raw outputs.
+      rays_o/rays_d: [N, 3] (already NDC-projected for LLFF).
+      stratified: jitter coarse bins (the reference always jitters,
+        nerf_process.py:58-60; exposed for deterministic eval).
+    """
+    n_rays = rays_o.shape[0]
+    key_c, key_f = jax.random.split(key)
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    # -- coarse pass ------------------------------------------------------
+    z_vals = stratified_z_vals(key_c, n_rays, near, far, n_coarse,
+                               perturb=stratified)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    emb = _embed(pts, viewdirs, L_x, L_d)
+    raw_c = coarse_fn(emb).reshape(n_rays, n_coarse, 4)
+    out_c = volume_render(raw_c, z_vals, rays_d, scan_impl)
+
+    if n_fine <= 0:
+        return RaysRender(out_c.rgb, out_c.disp, None, None, None, None)
+
+    # -- fine pass (hierarchical) -----------------------------------------
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_samples = sample_pdf(key_f, z_mid, out_c.weights[..., 1:-1], n_fine,
+                           det=(perturb == 0.0))
+    z_samples = jax.lax.stop_gradient(z_samples)
+    z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+
+    pts_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
+    emb_f = _embed(pts_f, viewdirs, L_x, L_d)
+    raw_f = fine_fn(emb_f).reshape(n_rays, n_coarse + n_fine, 4)
+    out_f = volume_render(raw_f, z_all, rays_d, scan_impl)
+
+    return RaysRender(out_c.rgb, out_c.disp, out_f.rgb, out_f.disp,
+                      out_f.acc, out_f.depth)
+
+
+def render_rays_from_cfg(coarse_fn, fine_fn, rays_o, rays_d, key, cfg,
+                         stratified: bool = True) -> RaysRender:
+    """render_rays with static args pulled from a NerfConfig."""
+    return render_rays(
+        coarse_fn, fine_fn, rays_o, rays_d, key,
+        near=float(cfg.near), far=float(cfg.far),
+        n_coarse=cfg.N_samples_c, n_fine=cfg.N_samples_f,
+        L_x=cfg.L_x, L_d=cfg.L_d, perturb=float(cfg.perturb),
+        stratified=stratified)
+
+
+def maybe_ndc(rays_o, rays_d, H, W, focal, data_type: str):
+    """NDC projection for LLFF forward-facing scenes with near=1
+    (reference nerf_process.py:224-226)."""
+    if data_type == "llff":
+        return ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+    return rays_o, rays_d
+
+
+def render_frame(
+    coarse_fn,
+    fine_fn,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: jax.Array,
+    cfg,
+    *,
+    block_rays: Optional[int] = None,
+    stratified: bool = True,
+) -> RaysRender:
+    """Render an arbitrary flat set of rays, blocked to bound memory.
+
+    Pads the ray count to a multiple of ``block_rays`` and sweeps blocks
+    with ``jax.lax.map`` (a compiled loop, not a host loop).  Use inside a
+    jit; rays for a full 800×800 frame stay on device end-to-end.
+    """
+    n = rays_o.shape[0]
+    block = block_rays or cfg.chunk_rays
+    n_pad = (-n) % block
+    ro = jnp.concatenate([rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
+    rd = jnp.concatenate([rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)
+    n_blocks = ro.shape[0] // block
+    ro = ro.reshape(n_blocks, block, 3)
+    rd = rd.reshape(n_blocks, block, 3)
+    keys = jax.random.split(key, n_blocks)
+
+    def one_block(args):
+        o, d, k = args
+        return render_rays_from_cfg(coarse_fn, fine_fn, o, d, k, cfg,
+                                    stratified=stratified)
+
+    out = jax.lax.map(one_block, (ro, rd, keys))
+    flat = jax.tree_util.tree_map(
+        lambda x: None if x is None else
+        x.reshape(-1, *x.shape[2:])[:n], out,
+        is_leaf=lambda x: x is None)
+    return RaysRender(*flat)

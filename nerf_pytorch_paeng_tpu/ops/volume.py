@@ -1,0 +1,86 @@
+"""Volume rendering (alpha compositing) of raw network outputs.
+
+Math parity target: reference nerf_process.py:89-140 (post_process):
+- dists = Δz with a 1e10 cap for the last bin, scaled by ||ray_d||,
+- α = 1 - exp(-relu(σ)·dist),
+- transmittance = exclusive cumprod of (1-α+1e-10),
+- rgb = Σ w·sigmoid(c); the white-background composite ``rgb + (1-acc)``
+  is unconditional in the reference, so it is unconditional here too,
+- disparity = 1/max(1e-10, depth/acc) with NaN→0 and a clamp at 5.0; we
+  compute it NaN-free by construction (acc can be 0 → guard the division)
+  and keep the clamp for output parity.
+
+The transmittance scan is available in two forms: ``cumprod`` (default,
+what XLA fuses best on a single chip) and a log-space
+``jax.lax.associative_scan`` (``scan_impl='associative'``) which parallelises
+over the sample axis — the TPU-native analog of sequence parallelism when
+the sample axis itself is sharded across a mesh axis.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+DISP_CLAMP = 5.0
+
+
+class RenderOutputs(NamedTuple):
+    rgb: jnp.ndarray       # [N, 3]
+    disp: jnp.ndarray      # [N]
+    acc: jnp.ndarray       # [N]
+    weights: jnp.ndarray   # [N, S]
+    depth: jnp.ndarray     # [N]
+
+
+def exclusive_cumprod(x: jnp.ndarray, scan_impl: str = "cumprod") -> jnp.ndarray:
+    """Exclusive product along the last axis: out[i] = prod(x[:i]), out[0]=1."""
+    if scan_impl == "associative":
+        # log-space associative scan: shards cleanly over the sample axis.
+        logs = jnp.log(x)
+        inc = jax.lax.associative_scan(jnp.add, logs, axis=-1)
+        exc = inc - logs
+        return jnp.exp(exc)
+    ones = jnp.ones_like(x[..., :1])
+    return jnp.cumprod(jnp.concatenate([ones, x], -1), -1)[..., :-1]
+
+
+def volume_render(raw: jnp.ndarray, z_vals: jnp.ndarray, rays_d: jnp.ndarray,
+                  scan_impl: str = "cumprod") -> RenderOutputs:
+    """Composite raw MLP outputs along each ray.
+
+    Args:
+      raw:    [N, S, 4] network outputs (rgb logits ‖ density logit).
+      z_vals: [N, S] sample depths.
+      rays_d: [N, 3] (unnormalised) ray directions.
+    """
+    raw = raw.astype(jnp.float32)
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], -1)          # [N, S]
+    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+
+    rgb = jax.nn.sigmoid(raw[..., :3])                             # [N, S, 3]
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(raw[..., 3]) * dists)       # [N, S]
+
+    transmittance = exclusive_cumprod(1.0 - alpha + 1e-10, scan_impl)
+    weights = alpha * transmittance                                # [N, S]
+
+    rgb_map = jnp.sum(weights[..., None] * rgb, -2)                # [N, 3]
+    depth_map = jnp.sum(weights * z_vals, -1)
+    acc_map = jnp.sum(weights, -1)
+
+    # NaN-free disparity: guard acc=0 before dividing (reference patches the
+    # NaNs after the fact, nerf_process.py:124-134; the clamp at 5.0 and the
+    # 1e-10 floor reproduce its output exactly on the non-NaN path).
+    mean_depth = depth_map / jnp.maximum(acc_map, 1e-10)
+    disp_map = 1.0 / jnp.maximum(1e-10, mean_depth)
+    disp_map = jnp.minimum(disp_map, DISP_CLAMP)
+    # empty ray (acc==0): the reference's 0/0 NaN is patched to 0 there.
+    disp_map = jnp.where(acc_map == 0.0, 0.0, disp_map)
+
+    # Unconditional white-background composite (reference nerf_process.py:138).
+    rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)
