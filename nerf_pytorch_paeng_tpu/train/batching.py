@@ -1,0 +1,61 @@
+"""Global ray-batch pool: every train pixel's (ray_o ‖ ray_d ‖ rgb) triple,
+device-resident, with epoch reshuffle.
+
+Behavioral parity target: reference main.py:93-106 (pool build + shuffle)
+and utils.py:41-58 (GetterRayBatchIdx cursor with reshuffle-on-exhaustion).
+TPU-first: the pool is built with a jitted batched ray generator and lives
+in HBM as one [M, 3, 3] array; batches are device-side dynamic slices (the
+pool never round-trips to the host) and the epoch reshuffle is a device
+``jax.random.permutation``.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rays import get_rays_batched
+
+
+def build_ray_pool(images: np.ndarray, K: np.ndarray, poses: np.ndarray,
+                   i_train: np.ndarray, key: jax.Array) -> jnp.ndarray:
+    """[M, 3, 3] pool of (ray_o, ray_d, rgb) for all train pixels, shuffled.
+
+    images: [N, H, W, 3] float32; poses: [N, 3or4, 4]; K: [3,3].
+    """
+    H, W = images.shape[1:3]
+    poses_train = jnp.asarray(poses)[jnp.asarray(i_train), :3, :4]
+    rays_o, rays_d = get_rays_batched(H, W, jnp.asarray(K, jnp.float32),
+                                      poses_train)        # [T, H, W, 3]
+    rgb = jnp.asarray(images, jnp.float32)[jnp.asarray(i_train)]
+    pool = jnp.stack([rays_o, rays_d, rgb], axis=3)        # [T, H, W, 3, 3]
+    pool = pool.reshape(-1, 3, 3)
+    perm = jax.random.permutation(key, pool.shape[0])
+    return pool[perm]
+
+
+class RayPool:
+    """Cursor over the shuffled pool; reshuffles on device when exhausted.
+
+    Mirrors reference utils.py:41-58 but stays functional on the device
+    side: only the integer cursor lives on the host.
+    """
+
+    def __init__(self, pool: jnp.ndarray, key: jax.Array):
+        self.pool = pool
+        self.key = key
+        self.i_batch = 0
+        self.epoch = 0
+
+    def next_batch(self, n: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        if self.i_batch + n > self.pool.shape[0]:
+            self.key, sub = jax.random.split(self.key)
+            perm = jax.random.permutation(sub, self.pool.shape[0])
+            self.pool = self.pool[perm]
+            self.i_batch = 0
+            self.epoch += 1
+        batch = jax.lax.dynamic_slice_in_dim(self.pool, self.i_batch, n, 0)
+        self.i_batch += n
+        return batch[:, 0, :], batch[:, 1, :], batch[:, 2, :]

@@ -1,0 +1,112 @@
+"""The jitted train step: render -> loss -> grad -> Adam update, one program.
+
+Behavioral parity target: reference train.py:12-70 — coarse+fine MSE loss
+(train.py:60-66), PSNR metrics, Adam step.  Unlike the reference there are
+no per-step host<->device copies (train.py:18-21) and no chunked host
+loops: the optimizer update fuses into the same XLA program as the
+renderer, and under pjit the ray batch shards over the mesh 'data' axis
+with gradient psum inserted by GSPMD.
+
+Two batch modes, like the reference:
+- global-batch: the step receives a pre-sliced [N,3]x3 ray batch
+  (reference train.py:25-32),
+- per-image: the step receives one image's full ray fields and samples
+  N_rays pixels *inside* the program (reference train.py:35-45), with a
+  separately compiled precrop variant for the first precrop_iters steps.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.nerf import NeRF
+from ..ops.rays import gather_rays, sample_pixels
+from ..ops.render import maybe_ndc, render_rays_from_cfg
+from .state import TrainState
+
+
+def mse2psnr(mse):
+    """-10·log10(mse), reference utils.py:17."""
+    return -10.0 * jnp.log(mse) / jnp.log(10.0)
+
+
+def _apply_fns(model: NeRF, params):
+    coarse = lambda x: model.apply({"params": params}, x, method=NeRF.coarse_fwd)
+    fine = lambda x: model.apply({"params": params}, x, method=NeRF.fine_fwd)
+    return coarse, fine
+
+
+def _loss_and_metrics(model, params, rays_o, rays_d, target, key, cfg):
+    coarse, fine = _apply_fns(model, params)
+    out = render_rays_from_cfg(coarse, fine, rays_o, rays_d, key, cfg)
+    loss_c = jnp.mean((out.rgb_c - target) ** 2)
+    if cfg.N_samples_f > 0:
+        loss_f = jnp.mean((out.rgb_f - target) ** 2)
+        loss = loss_c + loss_f
+        metrics = dict(loss=loss, loss_c=loss_c, loss_f=loss_f,
+                       psnr_c=mse2psnr(loss_c), psnr_f=mse2psnr(loss_f))
+    else:
+        loss = loss_c
+        metrics = dict(loss=loss, loss_c=loss_c, psnr_c=mse2psnr(loss_c))
+    metrics["psnr"] = mse2psnr(loss)
+    return loss, metrics
+
+
+def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
+                    H: int = 0, W: int = 0, focal: float = 0.0
+                    ) -> Callable[..., Tuple[TrainState, Dict[str, Any]]]:
+    """Global-batch train step: (state, rays_o, rays_d, target, key).
+
+    H/W/focal are only consumed for LLFF's NDC projection — the reference
+    applies NDC per step inside the render (nerf_process.py:224-226) even
+    in global-batch mode, so the pool holds raw camera rays.
+    """
+
+    def train_step(state: TrainState, rays_o, rays_d, target, key):
+        key = jax.random.fold_in(key, state.step)
+        rays_o, rays_d = maybe_ndc(rays_o, rays_d, H, W, focal, cfg.data_type)
+
+        def loss_fn(params):
+            return _loss_and_metrics(model, params, rays_o, rays_d,
+                                     target, key, cfg)
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return train_step
+
+
+def make_image_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
+                          H: int, W: int, focal: float):
+    """Per-image train step: samples N_rays pixels from one image inside the
+    program. `precrop` is a static arg — the loop compiles two variants.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("precrop",))
+    def train_step(state: TrainState, rays_o, rays_d, image, key,
+                   precrop: bool = False):
+        key = jax.random.fold_in(key, state.step)
+        key_px, key_render = jax.random.split(key)
+        coords = sample_pixels(key_px, H, W, cfg.N_rays,
+                               precrop=precrop, precrop_frac=cfg.precrop_frac)
+        ro, rd, target = gather_rays(rays_o, rays_d, image, coords)
+        ro, rd = maybe_ndc(ro, rd, H, W, focal, cfg.data_type)
+
+        def loss_fn(params):
+            return _loss_and_metrics(model, params, ro, rd, target,
+                                     key_render, cfg)
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return train_step

@@ -1,0 +1,82 @@
+"""Tiny analytic synthetic scene for end-to-end tests and smoke runs.
+
+A soft Gaussian density blob with a position-dependent color, volume-
+rendered analytically with numpy using the same compositing formulas as
+the renderer (white background).  Gives a fully self-consistent multi-view
+dataset a NeRF can actually learn, in milliseconds, with no assets —
+the test-suite stand-in for the blender scenes (no such facility exists in
+the reference; its only 'test' was evaluating rendered images, SURVEY §4).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def orbit_pose(theta: float, phi: float, radius: float) -> np.ndarray:
+    """[4,4] camera-to-world looking at the origin from spherical coords."""
+    st, ct = np.sin(theta), np.cos(theta)
+    sp, cp = np.sin(phi), np.cos(phi)
+    # camera center
+    center = radius * np.array([ct * cp, st * cp, sp], np.float64)
+    # -z looks at origin
+    z = center / np.linalg.norm(center)              # camera +z away from origin
+    up = np.array([0.0, 0.0, 1.0])
+    x = np.cross(up, z)
+    x = x / (np.linalg.norm(x) + 1e-12)
+    y = np.cross(z, x)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, center
+    return c2w.astype(np.float32)
+
+
+def _density(pts: np.ndarray, amp: float = 8.0, r: float = 0.6) -> np.ndarray:
+    return amp * np.exp(-np.sum(pts ** 2, -1) / (2 * r * r))
+
+
+def _color(pts: np.ndarray) -> np.ndarray:
+    # smooth position-dependent color in (0,1)
+    return 0.5 + 0.4 * np.stack(
+        [np.sin(2.0 * pts[..., 0]), np.sin(2.0 * pts[..., 1]),
+         np.sin(2.0 * pts[..., 2])], -1)
+
+
+def render_gt(H: int, W: int, K: np.ndarray, c2w: np.ndarray,
+              near: float, far: float, n_samples: int = 128) -> np.ndarray:
+    """Analytically volume-render the blob for one camera. [H, W, 3]."""
+    i, j = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32), indexing="xy")
+    dirs = np.stack([(i - K[0, 2]) / K[0, 0], -(j - K[1, 2]) / K[1, 1],
+                     -np.ones_like(i)], -1)
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape)
+
+    t = np.linspace(near, far, n_samples, dtype=np.float32)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
+    sigma = _density(pts)
+    rgb = _color(pts)
+
+    dists = np.diff(t)
+    dists = np.concatenate([dists, [1e10]]).astype(np.float32)
+    dists = dists * np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    alpha = 1.0 - np.exp(-sigma * dists)
+    trans = np.cumprod(np.concatenate(
+        [np.ones_like(alpha[..., :1]), 1 - alpha + 1e-10], -1), -1)[..., :-1]
+    w = alpha * trans
+    img = (w[..., None] * rgb).sum(-2)
+    acc = w.sum(-1, keepdims=True)
+    return (img + (1.0 - acc)).astype(np.float32)      # white background
+
+
+def make_synth_scene(n_views: int = 8, H: int = 32, W: int = 32,
+                     radius: float = 4.0, near: float = 2.0, far: float = 6.0
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (images [N,H,W,3], K [3,3], poses [N,4,4])."""
+    focal = 0.9 * W
+    K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]],
+                 np.float32)
+    thetas = np.linspace(0, 2 * np.pi, n_views, endpoint=False)
+    poses = np.stack([orbit_pose(t, 0.35, radius) for t in thetas])
+    imgs = np.stack([render_gt(H, W, K, p, near, far) for p in poses])
+    return imgs, K, poses
