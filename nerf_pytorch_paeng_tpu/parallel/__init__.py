@@ -1,0 +1,4 @@
+from .mesh import make_mesh  # noqa: F401
+from .sharding import (  # noqa: F401
+    batch_sharding, make_sharded_train_step, param_partition_specs,
+    replicate, shard_params)

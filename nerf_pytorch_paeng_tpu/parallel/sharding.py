@@ -1,0 +1,114 @@
+"""Sharding rules + the pjit-ed train/render steps.
+
+Strategy (TPU-native; the reference is single-GPU with no equivalent):
+
+- **Data parallel** (load-bearing): the ray batch shards over the mesh
+  ``data`` axis via input shardings; params are replicated there, so GSPMD
+  inserts the gradient ``psum`` over ICI automatically.
+- **Tensor parallel** (optional, ``n_model_shards > 1``): trunk Dense
+  kernels alternate column-/row-parallel over the ``model`` axis
+  (Megatron-style), annotated purely by parameter path — the model code
+  stays mesh-agnostic.  At width 256 this is a capability (and a dryrun
+  requirement), not a win; it becomes one at netWidth ≳ 2048.
+- Pipeline/expert parallelism are structurally inapplicable (a 2-module
+  MLP, no MoE) — documented here per SURVEY §2's absence table.
+
+Optimizer state inherits param shardings for free: ``tx.init`` runs on
+already-sharded params, and Adam's mu/nu mirror them.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def param_partition_specs(params: Any, n_model: int = 1) -> Any:
+    """PartitionSpec pytree for the NeRF params, keyed by path.
+
+    With n_model == 1 everything is replicated (pure DP).  Otherwise trunk
+    kernels alternate (None, 'model') / ('model', None); the wide heads
+    shard their width-sized axis.
+    """
+    if n_model <= 1:
+        return jax.tree_util.tree_map(lambda _: P(), params)
+
+    def spec_for(path: str, x) -> P:
+        if x.ndim == 1:  # bias: shard iff its layer's output dim is sharded
+            if re.search(r"trunk_(\d+)", path):
+                i = int(re.search(r"trunk_(\d+)", path).group(1))
+                return P(MODEL_AXIS) if i % 2 == 0 else P()
+            if "view" in path:
+                return P(MODEL_AXIS)
+            return P()
+        # kernels [in, out]
+        if re.search(r"trunk_(\d+)", path):
+            i = int(re.search(r"trunk_(\d+)", path).group(1))
+            return P(None, MODEL_AXIS) if i % 2 == 0 else P(MODEL_AXIS, None)
+        if "feature" in path or "density" in path:
+            return P(MODEL_AXIS, None)   # row-parallel head off the trunk
+        if "view" in path:
+            return P(None, MODEL_AXIS)   # column-parallel view branch
+        if "color" in path:
+            return P(MODEL_AXIS, None)
+        return P()
+
+    def walk(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{prefix}/{k}") for k, v in tree.items()}
+        return spec_for(prefix, tree)
+
+    return walk(params)
+
+
+def shard_params(params: Any, mesh: Mesh, n_model: int = 1) -> Any:
+    """device_put params onto the mesh with their partition specs."""
+    specs = param_partition_specs(params, n_model)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Rays/pixels shard their leading axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def make_sharded_train_step(train_step, mesh: Mesh):
+    """jit the train step with ray-batch inputs pinned to the data axis.
+
+    The state argument keeps whatever shardings its arrays carry (params
+    replicated or TP-sharded); the constraint on the batch is what makes
+    GSPMD slice the render and psum the grads.
+    """
+    bs = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def step(state, rays_o, rays_d, target, key):
+        rays_o = jax.lax.with_sharding_constraint(rays_o, bs)
+        rays_d = jax.lax.with_sharding_constraint(rays_d, bs)
+        target = jax.lax.with_sharding_constraint(target, bs)
+        return train_step(state, rays_o, rays_d, target, key)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_sharded_render(render_fn, mesh: Mesh):
+    """jit a flat-ray render fn with rays sharded over the data axis."""
+    bs = NamedSharding(mesh, P(DATA_AXIS))
+
+    def rfn(rays_o, rays_d, key):
+        rays_o = jax.lax.with_sharding_constraint(rays_o, bs)
+        rays_d = jax.lax.with_sharding_constraint(rays_d, bs)
+        return render_fn(rays_o, rays_d, key)
+
+    return jax.jit(rfn)

@@ -1,0 +1,128 @@
+"""Mesh/sharding tests on the 8 virtual CPU devices from conftest."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nerf_pytorch_paeng_tpu.config import NerfConfig
+from nerf_pytorch_paeng_tpu.parallel import (
+    batch_sharding, make_mesh, make_sharded_train_step,
+    param_partition_specs, shard_params)
+from nerf_pytorch_paeng_tpu.train import (
+    RayPool, build_ray_pool, create_train_state, make_train_step)
+from nerf_pytorch_paeng_tpu.utils.synth import make_synth_scene
+
+
+def tiny_cfg(**kw):
+    base = dict(netDepth=4, netWidth=64, L_x=6, L_d=2, N_rays=64,
+                N_samples_c=16, N_samples_f=16, near=2.0, far=6.0,
+                iter_N=100, iter_warmup=5, compute_dtype="float32")
+    base.update(kw)
+    return NerfConfig(**base)
+
+
+def setup(cfg, mesh, n_model=1):
+    imgs, K, poses = make_synth_scene(n_views=2, H=8, W=8)
+    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    params = shard_params(state.params, mesh, n_model)
+    opt_state = jax.jit(tx.init)(params)
+    state = state._replace(params=params, opt_state=opt_state)
+    pool = build_ray_pool(imgs, K, poses, np.arange(2), jax.random.PRNGKey(1))
+    o, d, rgb = RayPool(pool, jax.random.PRNGKey(2)).next_batch(cfg.N_rays)
+    bs = batch_sharding(mesh)
+    o, d, rgb = (jax.device_put(x, bs) for x in (o, d, rgb))
+    return model, state, tx, (o, d, rgb)
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    m = make_mesh()            # all devices on data
+    assert m.shape == {"data": 8, "model": 1}
+    m = make_mesh(4, 2)
+    assert m.shape == {"data": 4, "model": 2}
+
+
+def test_dp_step_matches_single_device():
+    cfg = tiny_cfg()
+    mesh = make_mesh(8, 1)
+    model, state, tx, (o, d, rgb) = setup(cfg, mesh)
+    key = jax.random.PRNGKey(3)
+
+    base_step = make_train_step(model, tx, cfg)
+    sharded = make_sharded_train_step(base_step, mesh)
+    st8, m8 = sharded(state, o, d, rgb, key)
+
+    # same step on one device
+    model1, state1, tx1 = create_train_state(cfg, jax.random.PRNGKey(0))
+    st1, m1 = jax.jit(make_train_step(model1, tx1, cfg))(
+        state1, jax.device_put(o), jax.device_put(d), jax.device_put(rgb), key)
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st8.params),
+                    jax.tree_util.tree_leaves(st1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_tp_step_matches_dp():
+    cfg = tiny_cfg()
+    mesh_tp = make_mesh(4, 2)
+    model, state, tx, (o, d, rgb) = setup(cfg, mesh_tp, n_model=2)
+    key = jax.random.PRNGKey(3)
+    sharded = make_sharded_train_step(make_train_step(model, tx, cfg), mesh_tp)
+    st_tp, m_tp = sharded(state, o, d, rgb, key)
+
+    model1, state1, tx1 = create_train_state(cfg, jax.random.PRNGKey(0))
+    st1, m1 = jax.jit(make_train_step(model1, tx1, cfg))(
+        state1, jax.device_put(o), jax.device_put(d), jax.device_put(rgb), key)
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st_tp.params),
+                    jax.tree_util.tree_leaves(st1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_tp_param_specs_shard_trunk():
+    cfg = tiny_cfg()
+    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    specs = param_partition_specs(state.params, n_model=2)
+    assert specs["coarse"]["trunk_0"]["kernel"] == P(None, "model")
+    assert specs["coarse"]["trunk_1"]["kernel"] == P("model", None)
+    assert specs["fine"]["density"]["kernel"] == P("model", None)
+    # dp-only: all replicated
+    specs1 = param_partition_specs(state.params, n_model=1)
+    assert all(s == P() for s in jax.tree_util.tree_leaves(
+        specs1, is_leaf=lambda x: isinstance(x, P)))
+
+
+def test_tp_params_physically_sharded():
+    cfg = tiny_cfg()
+    mesh = make_mesh(4, 2)
+    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    params = shard_params(state.params, mesh, n_model=2)
+    k = params["coarse"]["trunk_0"]["kernel"]
+    # 64-wide kernel sharded over 2 model shards -> each shard holds 32 cols
+    shard_shapes = {s.data.shape for s in k.addressable_shards}
+    assert shard_shapes == {(k.shape[0], k.shape[1] // 2)}
+
+
+def test_multi_epoch_training_still_converges_sharded():
+    cfg = tiny_cfg(N_rays=128)
+    mesh = make_mesh(8, 1)
+    model, state, tx, _ = setup(cfg, mesh)
+    imgs, K, poses = make_synth_scene(n_views=2, H=8, W=8)
+    pool = build_ray_pool(imgs, K, poses, np.arange(2), jax.random.PRNGKey(1))
+    rp = RayPool(pool, jax.random.PRNGKey(2))
+    step = make_sharded_train_step(make_train_step(model, tx, cfg), mesh)
+    bs = batch_sharding(mesh)
+    key = jax.random.PRNGKey(5)
+    losses = []
+    for _ in range(60):
+        o, d, rgb = rp.next_batch(cfg.N_rays)
+        o, d, rgb = (jax.device_put(x, bs) for x in (o, d, rgb))
+        state, m = step(state, o, d, rgb, key)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
