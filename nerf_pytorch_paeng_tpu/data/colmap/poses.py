@@ -1,0 +1,93 @@
+"""COLMAP sparse model -> LLFF ``poses_bounds.npy``.
+
+Capability parity target: reference dataset/colmap/pose_utils.py:12-94,262
+(load_colmap_data / save_poses / gen_poses): per-image rows hold the 3x5
+matrix [R|t|hwf] in LLFF's [-u, r, -t] axis convention plus [near, far]
+depth percentiles (0.1 / 99.9) of the 3D points visible in that image.
+"""
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+from .read_model import (qvec2rotmat, read_cameras_binary,
+                         read_images_binary, read_points3d_binary)
+from .wrapper import run_colmap
+
+
+def load_colmap_model(basedir: str):
+    """Returns (poses [3,5,N] in LLFF axes, pts3d dict, name-sort perm)."""
+    sparse = os.path.join(basedir, "sparse", "0")
+    cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+    cam = cams[sorted(cams.keys())[0]]
+    hwf = np.array([cam.height, cam.width, cam.params[0]],
+                   np.float64).reshape(3, 1)
+
+    imdata = read_images_binary(os.path.join(sparse, "images.bin"))
+    keys = list(imdata.keys())
+    names = [imdata[k].name for k in keys]
+    perm = np.argsort(names)
+
+    bottom = np.array([[0, 0, 0, 1.0]])
+    w2c = np.stack([
+        np.concatenate(
+            [np.concatenate([qvec2rotmat(imdata[k].qvec),
+                             imdata[k].tvec.reshape(3, 1)], 1), bottom], 0)
+        for k in keys], 0)
+    c2w = np.linalg.inv(w2c)
+
+    poses = c2w[:, :3, :4].transpose([1, 2, 0])       # [3, 4, N]
+    poses = np.concatenate(
+        [poses, np.tile(hwf[..., None], [1, 1, poses.shape[-1]])], 1)
+    # COLMAP camera axes (r, -u, t) -> LLFF's (-u, r, -t)
+    poses = np.concatenate(
+        [poses[:, 1:2, :], poses[:, 0:1, :], -poses[:, 2:3, :],
+         poses[:, 3:4, :], poses[:, 4:5, :]], 1)      # [3, 5, N]
+
+    pts3d = read_points3d_binary(os.path.join(sparse, "points3D.bin"))
+    return poses, pts3d, perm
+
+
+def save_poses_bounds(basedir: str, poses: np.ndarray, pts3d,
+                      perm: np.ndarray) -> np.ndarray:
+    """Compute per-image depth bounds and write poses_bounds.npy."""
+    n_images = poses.shape[-1]
+    pts = np.stack([p.xyz for p in pts3d.values()], 0)       # [P, 3]
+    vis = np.zeros((pts.shape[0], n_images), bool)
+    for row, p in enumerate(pts3d.values()):
+        for ind in p.image_ids:
+            if ind - 1 >= n_images:
+                raise ValueError(
+                    "point track references an unregistered image — "
+                    "COLMAP model is inconsistent with the pose set")
+            vis[row, ind - 1] = True
+
+    # depth of each point along each camera's forward (-t) axis
+    zvals = np.sum(
+        -(pts[:, None, :].transpose([2, 0, 1]) - poses[:3, 3:4, :])
+        * poses[:3, 2:3, :], 0)                               # [P, N]
+
+    rows = []
+    for i in perm:
+        zs = zvals[:, i][vis[:, i]]
+        close, inf = np.percentile(zs, 0.1), np.percentile(zs, 99.9)
+        rows.append(np.concatenate(
+            [poses[..., i].ravel(), np.array([close, inf])], 0))
+    arr = np.array(rows)
+    np.save(os.path.join(basedir, "poses_bounds.npy"), arr)
+    return arr
+
+
+def gen_poses(basedir: str, match_type: str = "exhaustive_matcher") -> bool:
+    """Ensure a sparse model exists (running COLMAP if needed), then write
+    poses_bounds.npy (reference pose_utils.py:262-285)."""
+    sparse0 = os.path.join(basedir, "sparse", "0")
+    needed = [f"{n}.bin" for n in ("cameras", "images", "points3D")]
+    have = os.listdir(sparse0) if os.path.isdir(sparse0) else []
+    if not all(f in have for f in needed):
+        run_colmap(basedir, match_type)
+    poses, pts3d, perm = load_colmap_model(basedir)
+    save_poses_bounds(basedir, poses, pts3d, perm)
+    return True
