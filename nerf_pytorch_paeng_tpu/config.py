@@ -112,6 +112,8 @@ class NerfConfig:
 
     # ====== TPU-native additions (no reference equivalent) ======
     seed: int = 0
+    eval_only: bool = False       # load ckpt at testing_idx, run test, exit
+    render_only: bool = False     # load ckpt at testing_idx, render, exit
     # matmul compute dtype for the MLP: "bfloat16" rides the MXU at full
     # rate; "float32" for bit-exactness studies.
     compute_dtype: str = "bfloat16"

@@ -1,0 +1,174 @@
+"""Experiment driver: dataset -> state -> train loop -> test/render hooks.
+
+Behavioral parity target: reference main.py:17-161 (main_worker) — dataset
+dispatch by data_type, coarse+fine model, Adam + warmup-cosine schedule,
+optional global ray batching, checkpoint resume, and the train loop with
+periodic test / render / save / print hooks driven by the idx_* knobs.
+
+TPU-first structure: one pjit-ed train step (ray batch sharded over the
+mesh 'data' axis); metrics stay on device between logging points; the
+full-frame eval/render paths reuse compiled frame renderers.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm import trange
+
+from .config import NerfConfig
+from .data import load_blender, load_custom, load_llff
+from .eval.render import run_render
+from .eval.test import run_test
+from .parallel import (batch_sharding, make_mesh, make_sharded_train_step,
+                       shard_params)
+from .parallel.mesh import maybe_initialize_distributed
+from .train import (RayPool, build_ray_pool, create_train_state,
+                    make_image_train_step, make_train_step)
+from .train.checkpoint import (restore_checkpoint, restore_params_only,
+                               save_checkpoint)
+from .utils.logging import MetricLogger
+from .utils.visualize import visualize_extrinsics
+
+
+def load_dataset(cfg: NerfConfig):
+    """Dataset dispatch (reference main.py:34-58). Returns
+    (images, K, extrinsics, hw, i_split, render_poses, cfg)."""
+    if cfg.data_type == "blender":
+        images, (K, ext), hw, i_split = load_blender(
+            data_root=cfg.data_root, downsample=cfg.downsample,
+            testskip=cfg.testskip, bkg_white=cfg.bkg_white)
+        render_poses = None
+    elif cfg.data_type == "llff":
+        images, (K, ext), hw, i_split, render_poses = load_llff(
+            data_root=cfg.data_root, downsample=cfg.downsample,
+            testskip=cfg.testskip, colmap_relaunch=cfg.colmap_relaunch)
+    elif cfg.data_type == "custom":
+        images, (K, ext), hw, i_split, nf = load_custom(
+            data_root=cfg.data_root, downsample=cfg.downsample,
+            testskip=cfg.testskip, video_batch=cfg.video_batch,
+            colmap_relaunch=cfg.colmap_relaunch)
+        render_poses = None
+        cfg = dataclasses.replace(cfg, near=nf[0], far=nf[1])
+    else:
+        raise ValueError(cfg.data_type)
+    return images, K, ext, hw, i_split, render_poses, cfg
+
+
+def _llff_render_poses_34(render_poses):
+    if render_poses is None:
+        return None
+    return render_poses[:, :3, :4]
+
+
+def main_worker(cfg: NerfConfig) -> None:
+    maybe_initialize_distributed()
+    print(f">> devices: {jax.devices()}")
+    mesh = make_mesh(cfg.n_data_shards, cfg.n_model_shards)
+    print(f">> mesh: {dict(mesh.shape)}")
+
+    if cfg.check_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    # ---- 1. dataset ------------------------------------------------------
+    print(f">> loading dataset [{cfg.data_type}] from {cfg.data_root!r}")
+    images, K, extrinsics, hw, i_split, render_poses, cfg = load_dataset(cfg)
+    i_train, i_val, i_test = i_split
+    H, W = hw
+    print(f">> dataset loaded: images {images.shape}, hw {hw}, "
+          f"train/val/test {len(i_train)}/{len(i_val)}/{len(i_test)}")
+
+    # ---- 2. model + optimizer + state -----------------------------------
+    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+    params = shard_params(state.params, mesh, cfg.n_model_shards)
+    opt_state = jax.jit(tx.init)(params)
+    state = state._replace(params=params, opt_state=opt_state)
+
+    # ---- standalone eval/render (testing_idx, no training) ---------------
+    if cfg.eval_only or cfg.render_only:
+        params = restore_params_only(cfg.logdir, cfg.exp_name,
+                                     cfg.testing_idx, state.params)
+        if cfg.eval_only:
+            run_test(cfg.testing_idx, model, params, images[i_test],
+                     extrinsics[i_test], K, hw, cfg, mesh=mesh)
+        if cfg.render_only:
+            run_render(cfg.testing_idx, model, params, K, hw, cfg,
+                       render_poses=_llff_render_poses_34(render_poses),
+                       mesh=mesh)
+        return
+
+    # ---- 3. resume -------------------------------------------------------
+    if cfg.iter_start != 0:
+        state = restore_checkpoint(cfg.logdir, cfg.exp_name, cfg.iter_start,
+                                   state)
+        print(f">> resumed from iter {int(state.step)}")
+    else:
+        print(">> training from scratch")
+
+    # ---- 4. batching -----------------------------------------------------
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    bs = batch_sharding(mesh)
+    if cfg.global_batch:
+        print(">> [global batch] building the all-image ray pool")
+        key, sub = jax.random.split(key)
+        pool = build_ray_pool(images, K, extrinsics, i_train, sub)
+        ray_pool = RayPool(pool, jax.random.fold_in(key, 17))
+        step_fn = make_sharded_train_step(
+            make_train_step(model, tx, cfg, H, W, float(K[0][0])), mesh)
+    else:
+        print(">> per-image sampling mode")
+        ray_pool = None
+        step_fn = make_image_train_step(model, tx, cfg, H, W, K)
+        images_dev = jnp.asarray(images)
+        poses_dev = jnp.asarray(extrinsics)[:, :3, :4]
+
+    # ---- 5. observability ------------------------------------------------
+    logger = MetricLogger(cfg.logdir, cfg.exp_name)
+    rng = np.random.default_rng(cfg.seed + 2)
+    step_key = jax.random.PRNGKey(cfg.seed + 3)
+
+    # ---- 6. the loop (reference main.py:124-161) -------------------------
+    pending = None  # (step_idx, metrics) not yet materialised
+    for i in trange(cfg.iter_start + 1, cfg.iter_N + 1):
+        if cfg.global_batch:
+            o, d, rgb = ray_pool.next_batch(cfg.N_rays)
+            o = jax.device_put(o, bs)
+            d = jax.device_put(d, bs)
+            rgb = jax.device_put(rgb, bs)
+            state, metrics = step_fn(state, o, d, rgb, step_key)
+        else:
+            i_img = int(rng.choice(i_train))
+            state, metrics = step_fn(
+                state, images_dev[i_img], poses_dev[i_img], step_key,
+                precrop=bool(i < cfg.precrop_iters))
+
+        if i % cfg.idx_vis == 0 or i % cfg.idx_print == 0:
+            logger.log(i, metrics, to_stdout=(i % cfg.idx_print == 0),
+                       n_rays=cfg.N_rays)
+
+        if cfg.idx_save and i % cfg.idx_save == 0:
+            path = save_checkpoint(cfg.logdir, cfg.exp_name, state)
+            print(f">> checkpoint saved: {path}")
+
+        if (cfg.idx_test and i % cfg.idx_test == 0 and cfg.mode_test
+                and len(i_test) > 0):
+            run_test(i, model, state.params, images[i_test],
+                     extrinsics[i_test], K, hw, cfg, mesh=mesh)
+
+        if cfg.idx_render and i % cfg.idx_render == 0 and cfg.mode_render:
+            run_render(i, model, state.params, K, hw, cfg,
+                       render_poses=_llff_render_poses_34(render_poses),
+                       mesh=mesh)
+
+        if i == 1:  # one-time extrinsics plot (reference train.py:117-119)
+            visualize_extrinsics(
+                extrinsics, os.path.join(cfg.logdir, cfg.exp_name,
+                                         "_ext_vis"),
+                idx_list=i_train, name="train_cameras")
+
+    logger.close()
+    print(">> training done")

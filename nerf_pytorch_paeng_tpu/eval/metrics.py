@@ -1,0 +1,114 @@
+"""Image quality metrics in JAX: SSIM and LPIPS(VGG16).
+
+Capability parity target: reference utils.py:22-34, which wraps
+IQA_pytorch's SSIM and LPIPSvgg.  Both are re-implemented natively:
+
+- SSIM: the standard Wang et al. formulation — 11x11 Gaussian window
+  (sigma 1.5), C1=(0.01)^2, C2=(0.03)^2 on [0,1] images, valid padding,
+  averaged over channels — matching IQA_pytorch's configuration.
+- LPIPS: VGG16 features (conv1_2/2_2/3_3/4_3/5_3), channel-unit-normalised,
+  squared difference, learned linear weights, spatial mean, summed.  The
+  pretrained weights cannot be baked into the repo; they load from an .npz
+  (``cfg.lpips_weights``, see tools/export_lpips_weights.py).  Without the
+  file LPIPS is reported as nan — the metric is gated, not faked.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ------------------------------------------------------------------ SSIM --
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    return jnp.outer(g, g)                                   # [size, size]
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def compute_ssim(pred: jnp.ndarray, gt: jnp.ndarray, size: int = 11,
+                 sigma: float = 1.5, c1: float = 0.01 ** 2,
+                 c2: float = 0.03 ** 2) -> jnp.ndarray:
+    """SSIM between two [H, W, C] images in [0, 1]. Returns a scalar."""
+    w = _gaussian_window(size, sigma)[..., None, None]        # [k,k,1,1]
+    kernel = jnp.tile(w, (1, 1, 1, pred.shape[-1]))           # depthwise
+
+    def filt(img):
+        # depthwise conv, valid padding: [H,W,C] -> [H',W',C]
+        img = img[None].astype(jnp.float32)                   # NHWC
+        out = jax.lax.conv_general_dilated(
+            img, kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=pred.shape[-1])
+        return out[0]
+
+    mu_p, mu_g = filt(pred), filt(gt)
+    mu_pp, mu_gg, mu_pg = mu_p * mu_p, mu_g * mu_g, mu_p * mu_g
+    sigma_p = filt(pred * pred) - mu_pp
+    sigma_g = filt(gt * gt) - mu_gg
+    sigma_pg = filt(pred * gt) - mu_pg
+
+    num = (2 * mu_pg + c1) * (2 * sigma_pg + c2)
+    den = (mu_pp + mu_gg + c1) * (sigma_p + sigma_g + c2)
+    return jnp.mean(num / den)
+
+
+# ----------------------------------------------------------------- LPIPS --
+
+# VGG16 conv layout: (out_channels, n_convs) per block
+_VGG_BLOCKS = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def load_lpips_params(path: str) -> Optional[Dict[str, np.ndarray]]:
+    """Load VGG16 + LPIPS-linear weights from an .npz (see tools/)."""
+    if not path or not os.path.isfile(path):
+        return None
+    data = dict(np.load(path))
+    return data
+
+
+def _vgg_features(x: jnp.ndarray, params: Dict[str, jnp.ndarray]):
+    """x: [1, H, W, 3] in [0,1]. Returns the 5 tap activations."""
+    x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+    feats = []
+    li = 0
+    for bi, (ch, n_convs) in enumerate(_VGG_BLOCKS):
+        for ci in range(n_convs):
+            w = params[f"conv{li}_w"]                # [3,3,in,out] HWIO
+            b = params[f"conv{li}_b"]
+            x = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+            x = jax.nn.relu(x)
+            li += 1
+        feats.append(x)
+        if bi < len(_VGG_BLOCKS) - 1:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return feats
+
+
+def compute_lpips(pred: jnp.ndarray, gt: jnp.ndarray,
+                  params: Optional[Dict[str, np.ndarray]]) -> float:
+    """LPIPS-VGG between two [H, W, 3] images in [0,1]; nan if no weights."""
+    if params is None:
+        return float("nan")
+    fp = _vgg_features(pred[None], params)
+    fg = _vgg_features(gt[None], params)
+    total = 0.0
+    for i, (a, b) in enumerate(zip(fp, fg)):
+        a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
+        b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
+        d = (a - b) ** 2                                    # [1,H,W,C]
+        lin = params[f"lin{i}_w"].reshape(1, 1, 1, -1)      # 1x1 conv weights
+        total = total + jnp.mean(jnp.sum(d * lin, axis=-1))
+    return float(total)

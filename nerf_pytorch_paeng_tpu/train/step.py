@@ -84,16 +84,24 @@ def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
 
 
 def make_image_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
-                          H: int, W: int, focal: float):
-    """Per-image train step: samples N_rays pixels from one image inside the
-    program. `precrop` is a static arg — the loop compiles two variants.
+                          H: int, W: int, K):
+    """Per-image train step: generates the image's rays and samples N_rays
+    pixels *inside* the program (reference recomputes rays on host per step,
+    train.py:43 / rays.py:20).  `precrop` is a static arg — the loop
+    compiles two variants.
     """
+    import jax.numpy as jnp
+
+    from ..ops.rays import get_rays
+    K = jnp.asarray(K, jnp.float32)
+    focal = float(K[0, 0])
 
     @functools.partial(jax.jit, static_argnames=("precrop",))
-    def train_step(state: TrainState, rays_o, rays_d, image, key,
+    def train_step(state: TrainState, image, pose, key,
                    precrop: bool = False):
         key = jax.random.fold_in(key, state.step)
         key_px, key_render = jax.random.split(key)
+        rays_o, rays_d = get_rays(H, W, K, pose)
         coords = sample_pixels(key_px, H, W, cfg.N_rays,
                                precrop=precrop, precrop_frac=cfg.precrop_frac)
         ro, rd, target = gather_rays(rays_o, rays_d, image, coords)

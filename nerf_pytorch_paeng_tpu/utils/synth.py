@@ -80,3 +80,35 @@ def make_synth_scene(n_views: int = 8, H: int = 32, W: int = 32,
     poses = np.stack([orbit_pose(t, 0.35, radius) for t in thetas])
     imgs = np.stack([render_gt(H, W, K, p, near, far) for p in poses])
     return imgs, K, poses
+
+
+def save_as_blender_dataset(root: str, n_train: int = 4, n_val: int = 1,
+                            n_test: int = 2, H: int = 16, W: int = 16,
+                            radius: float = 4.0) -> None:
+    """Write the synthetic scene to disk in the blender transforms_*.json
+    format so the full CLI pipeline (loader included) can run on it."""
+    import json
+    import os
+
+    import imageio.v2 as imageio
+
+    n = n_train + n_val + n_test
+    imgs, K, poses = make_synth_scene(n_views=n, H=H, W=W, radius=radius)
+    focal = float(K[0, 0])
+    camera_angle_x = 2.0 * float(np.arctan(W / (2.0 * focal)))
+    splits = (("train", 0, n_train), ("val", n_train, n_train + n_val),
+              ("test", n_train + n_val, n))
+    for split, lo, hi in splits:
+        os.makedirs(os.path.join(root, split), exist_ok=True)
+        frames = []
+        for i in range(lo, hi):
+            rel = f"{split}/r_{i - lo}"
+            rgba = np.concatenate(
+                [imgs[i], np.ones_like(imgs[i][..., :1])], -1)
+            imageio.imwrite(os.path.join(root, rel + ".png"),
+                            (rgba * 255).astype(np.uint8))
+            frames.append({"file_path": rel,
+                           "transform_matrix": poses[i].tolist()})
+        meta = {"camera_angle_x": camera_angle_x, "frames": frames}
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta, f)

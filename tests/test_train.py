@@ -51,16 +51,15 @@ def test_per_image_overfit_with_precrop():
     imgs, K, poses = make_synth_scene(n_views=2, H=16, W=16)
     model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
     H, W = imgs.shape[1:3]
-    step = make_image_train_step(model, tx, cfg, H, W, float(K[0, 0]))
+    step = make_image_train_step(model, tx, cfg, H, W, K)
 
-    from nerf_pytorch_paeng_tpu.ops.rays import get_rays
-    ro, rd = get_rays(H, W, jnp.asarray(K), jnp.asarray(poses[0][:3, :4]))
+    pose = jnp.asarray(poses[0][:3, :4])
     img = jnp.asarray(imgs[0])
     key = jax.random.PRNGKey(5)
     psnrs = []
     for i in range(80):
         precrop = i < cfg.precrop_iters
-        state, m = step(state, ro, rd, img, key, precrop=precrop)
+        state, m = step(state, img, pose, key, precrop=precrop)
         psnrs.append(float(m["psnr_f"]))
     assert psnrs[-1] > psnrs[0] + 5.0
     assert not np.isnan(psnrs).any()
