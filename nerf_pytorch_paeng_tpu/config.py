@@ -84,7 +84,10 @@ class NerfConfig:
     N_samples_c: int = 64
     N_samples_f: int = 128
     chunk_rays: int = 4096        # ray-block size for full-frame renders
-    chunk_pts: int = 524288       # kept for compat; unused (XLA fuses points)
+    # in-program MLP point-chunk (compiled lax.map; reference default is
+    # 524288 but >=512k-row bf16 backward matmuls trip a TPU backend
+    # regalloc bug, so we default one notch lower)
+    chunk_pts: int = 262144
     perturb: float = 1.0
 
     # ====== Testing (reference config.py:79-81)

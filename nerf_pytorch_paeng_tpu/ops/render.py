@@ -45,6 +45,33 @@ def _embed(pts: jnp.ndarray, viewdirs: jnp.ndarray, L_x: int, L_d: int):
     return jnp.concatenate([emb_x, emb_d], axis=-1)
 
 
+def chunked_apply(fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
+                  chunk_pts: int) -> jnp.ndarray:
+    """Apply the MLP over point-chunks of at most ``chunk_pts`` rows with a
+    compiled ``lax.map`` (the reference's chunk_pts knob, nerf_process.py:
+    190-192, but in-program instead of a host loop).
+
+    Besides bounding activation memory, this also works around a TPU
+    backend register-allocator RET_CHECK that fires when a single matmul
+    batch in the *backward* pass exceeds ~2^19 rows in bf16.
+    """
+    n = x.shape[0]
+    if chunk_pts <= 0 or n <= chunk_pts:
+        return fn(x)
+    n_chunks = -(-n // chunk_pts)
+    # equalise chunk sizes so padding is minimal (e.g. 786432 @ 524288 ->
+    # 2 chunks of 393216, zero pad, instead of 2x524288 with 33% padding)
+    chunk = -(-n // n_chunks)
+    chunk = -(-chunk // 128) * 128          # keep rows MXU-tile aligned
+    pad = n_chunks * chunk - n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[-1]), x.dtype)], 0)
+    xs = x.reshape(n_chunks, -1, x.shape[-1])
+    out = jax.lax.map(fn, xs)
+    out = out.reshape(n_chunks * out.shape[1], -1)
+    return out[:n]
+
+
 def render_rays(
     coarse_fn: Callable[[jnp.ndarray], jnp.ndarray],
     fine_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -61,6 +88,7 @@ def render_rays(
     perturb: float = 1.0,
     stratified: bool = True,
     scan_impl: str = "cumprod",
+    chunk_pts: int = 524288,
 ) -> RaysRender:
     """Render a flat batch of rays through the coarse(+fine) pipeline.
 
@@ -79,7 +107,8 @@ def render_rays(
                                perturb=stratified)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     emb = _embed(pts, viewdirs, L_x, L_d)
-    raw_c = coarse_fn(emb).reshape(n_rays, n_coarse, 4)
+    raw_c = chunked_apply(coarse_fn, emb, chunk_pts).reshape(
+        n_rays, n_coarse, 4)
     out_c = volume_render(raw_c, z_vals, rays_d, scan_impl)
 
     if n_fine <= 0:
@@ -94,7 +123,8 @@ def render_rays(
 
     pts_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
     emb_f = _embed(pts_f, viewdirs, L_x, L_d)
-    raw_f = fine_fn(emb_f).reshape(n_rays, n_coarse + n_fine, 4)
+    raw_f = chunked_apply(fine_fn, emb_f, chunk_pts).reshape(
+        n_rays, n_coarse + n_fine, 4)
     out_f = volume_render(raw_f, z_all, rays_d, scan_impl)
 
     return RaysRender(out_c.rgb, out_c.disp, out_f.rgb, out_f.disp,
@@ -109,7 +139,7 @@ def render_rays_from_cfg(coarse_fn, fine_fn, rays_o, rays_d, key, cfg,
         near=float(cfg.near), far=float(cfg.far),
         n_coarse=cfg.N_samples_c, n_fine=cfg.N_samples_f,
         L_x=cfg.L_x, L_d=cfg.L_d, perturb=float(cfg.perturb),
-        stratified=stratified)
+        stratified=stratified, chunk_pts=cfg.chunk_pts)
 
 
 def maybe_ndc(rays_o, rays_d, H, W, focal, data_type: str):

@@ -55,7 +55,14 @@ def sample_pdf(key: jax.Array, bins: jnp.ndarray, weights: jnp.ndarray,
         u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples),
                                dtype=jnp.float32)
 
-    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
+    # searchsorted-right as a broadcast comparison count: for each query u,
+    # #{j : cdf[j] <= u}.  The bin count is small (N_samples_c+1), so the
+    # [N, S_f, B] bool tensor is tiny VPU work and — unlike a vmapped
+    # binary-search loop — fully vectorises on TPU (a per-ray search loop
+    # with dynamic gathers both serialises and trips TPU codegen at large
+    # N·S_f).
+    inds = jnp.sum(
+        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1)
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 

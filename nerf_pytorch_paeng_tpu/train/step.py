@@ -83,6 +83,31 @@ def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
     return train_step
 
 
+def make_scanned_train_step(model: NeRF, tx: optax.GradientTransformation,
+                            cfg, H: int = 0, W: int = 0, focal: float = 0.0,
+                            n_inner: int = 8):
+    """Run ``n_inner`` train steps inside one XLA program via lax.scan.
+
+    The host hands over a [n_inner, N, 3] stack of pre-sliced ray batches
+    and gets back the state after n_inner updates — zero host round-trips
+    between updates, so dispatch latency amortises to nothing.  Metrics
+    returned are the scan-stacked per-step values.
+    """
+    step = make_train_step(model, tx, cfg, H, W, focal)
+
+    def scanned(state: TrainState, o_stack, d_stack, rgb_stack, key):
+        def body(st, xs):
+            o, d, rgb = xs
+            st, m = step(st, o, d, rgb, key)
+            return st, m
+
+        state, metrics = jax.lax.scan(
+            body, state, (o_stack, d_stack, rgb_stack))
+        return state, metrics
+
+    return scanned
+
+
 def make_image_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
                           H: int, W: int, K):
     """Per-image train step: generates the image's rays and samples N_rays
