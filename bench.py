@@ -63,12 +63,13 @@ def bench_train(n_steps: int = 15, reps: int = 3):
 
 
 def bench_render(H: int = 800, W: int = 800, block: int = 16384,
-                 reps: int = 3):
+                 reps: int = 3, use_pallas: bool = True):
     from nerf_pytorch_paeng_tpu.config import NerfConfig
     from nerf_pytorch_paeng_tpu.eval.frame import make_frame_renderer
     from nerf_pytorch_paeng_tpu.models import init_nerf
 
-    cfg = NerfConfig(near=2.0, far=6.0, chunk_rays=block)
+    cfg = NerfConfig(near=2.0, far=6.0, chunk_rays=block,
+                     use_pallas=use_pallas)
     model, params = init_nerf(cfg, jax.random.PRNGKey(0))
     K = np.array([[0.7 * W, 0, W / 2], [0, 0.7 * W, H / 2], [0, 0, 1]])
     render = make_frame_renderer(model, cfg, H, W, K, block_rays=block)

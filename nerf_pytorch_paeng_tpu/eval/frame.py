@@ -13,25 +13,41 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ..models.nerf import NeRF
 from ..ops.rays import get_rays
-from ..ops.render import maybe_ndc, render_frame
+from ..ops.render import (make_pallas_field_fns, make_xla_field_fns,
+                          maybe_ndc, render_frame)
+
+
+def _supports_pallas(cfg) -> bool:
+    """The fused kernel implements exactly the reference architecture."""
+    return (cfg.use_pallas and cfg.netDepth == 8 and cfg.netWidth == 256
+            and cfg.L_x <= 10 and cfg.L_d <= 4)
 
 
 def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
                         mesh: Optional[object] = None,
                         block_rays: Optional[int] = None,
                         stratified: bool = True):
-    """Returns render(params, c2w [3,4], key) -> (rgb [H,W,3], disp [H,W])."""
+    """Returns render(params, c2w [3,4], key) -> (rgb [H,W,3], disp [H,W]).
+
+    With cfg.use_pallas (and the reference architecture), the MLP runs in
+    the fused Pallas kernel; params are re-packed per call on the host
+    (a ~2.4 MB transfer — irrelevant next to a frame's compute).
+    """
     K = jnp.asarray(K, jnp.float32)
     focal = float(K[0, 0])
     n_fine = cfg.N_samples_f
+    use_pallas = _supports_pallas(cfg)
 
     def _render(params, c2w, key):
-        coarse = lambda x: model.apply({"params": params}, x,
-                                       method=NeRF.coarse_fwd)
-        fine = lambda x: model.apply({"params": params}, x,
-                                     method=NeRF.fine_fwd)
+        if use_pallas:
+            coarse, fine = make_pallas_field_fns(
+                params["packed_coarse"], params["packed_fine"], cfg)
+        else:
+            coarse, fine = make_xla_field_fns(model, params, cfg)
         rays_o, rays_d = get_rays(H, W, K, c2w)
         rays_o = rays_o.reshape(-1, 3)
         rays_d = rays_d.reshape(-1, 3)
@@ -47,4 +63,21 @@ def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         disp = out.disp_f if n_fine > 0 else out.disp_c
         return rgb.reshape(H, W, 3), disp.reshape(H, W)
 
-    return jax.jit(_render)
+    jitted = jax.jit(_render)
+    if not use_pallas:
+        return jitted
+
+    from ..kernels.fused_mlp import pack_nerf_mlp_params
+
+    def render_with_packing(params, c2w, key):
+        packed = {
+            "packed_coarse": pack_nerf_mlp_params(
+                jax.tree_util.tree_map(np.asarray, params["coarse"]),
+                L_x=cfg.L_x, L_d=cfg.L_d),
+            "packed_fine": pack_nerf_mlp_params(
+                jax.tree_util.tree_map(np.asarray, params["fine"]),
+                L_x=cfg.L_x, L_d=cfg.L_d),
+        }
+        return jitted(packed, c2w, key)
+
+    return render_with_packing

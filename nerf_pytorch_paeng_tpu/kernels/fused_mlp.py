@@ -1,0 +1,218 @@
+"""Pallas TPU kernel: the whole NeRF MLP fused into one VMEM-resident pass.
+
+Why: under plain XLA every Dense layer materialises a [P, 256] activation
+to HBM — ~10 KB of traffic per point per pass, which makes full-frame
+rendering HBM-bound (~8.8s for 800x800).  This kernel keeps every weight
+and activation in VMEM: HBM traffic collapses to the [3, P] point/dir
+planes in and the [4, P] raw outputs out.
+
+Design (eval path, no autodiff through the kernel):
+- **Feature-major layout**: activations live as [features, points] tiles —
+  points on the 128-wide lane axis, features on sublanes.  Every layer is
+  one MXU ``dot(W_t, h)`` with fp32 accumulation; no transposes anywhere.
+- Positional encoding is computed in-kernel from the raw [3, T] point/dir
+  planes (the [P, 90] embedded matrix never exists in HBM).
+- Weights are pre-packed once on host: transposed to [out, in], bf16,
+  rows permuted to the kernel's frequency-major embedding order, skip and
+  view-branch concats split into two matmuls (and the tiny heads padded
+  to sublane multiples).
+- Grid over point-tiles of T columns; weight blocks use a constant
+  index_map so Mosaic keeps them resident across grid steps.
+
+Parity: computes exactly the reference MLP (model/NeRF.py:33-52) with the
+no-π positional encoding (model/PositionalEncoding.py:18-23); numerics
+match the XLA bf16 path to ~1e-2 (bf16 rounding).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# padded sublane sizes for the embedding planes
+EMBX_ROWS = 64   # 63 used (L_x=10)
+EMBD_ROWS = 32   # 27 used (L_d=4)
+
+
+def _emb_perm(L: int) -> np.ndarray:
+    """Map kernel embedding row -> flax/reference embedding row.
+
+    Kernel order (all sins then all cosines, frequency-outer):
+      [x0,x1,x2, sin f0 (3 coords), sin f1 (3), ..., cos f0 (3), ...]
+    Flax order (reference PositionalEncoding.py:20-24, sin/cos interleaved):
+      [x, sin f0 (3), cos f0 (3), sin f1 (3), cos f1 (3), ...]
+    """
+    perm = np.zeros(3 + 6 * L, np.int64)
+    perm[:3] = np.arange(3)
+    for j in range(L):
+        for c in range(3):
+            perm[3 + 3 * j + c] = 3 + 6 * j + c              # sin
+            perm[3 + 3 * L + 3 * j + c] = 3 + 6 * j + 3 + c  # cos
+    return perm
+
+
+def _t_pad(w: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Transpose [in, out] -> [out, in], zero-pad to [rows, cols], bf16."""
+    wt = np.asarray(w, np.float32).T
+    out = np.zeros((rows, cols), np.float32)
+    out[: wt.shape[0], : wt.shape[1]] = wt
+    return out.astype(jnp.bfloat16)
+
+
+def pack_nerf_mlp_params(params: Dict, L_x: int = 10, L_d: int = 4,
+                         depth: int = 8, width: int = 256,
+                         skips: Tuple[int, ...] = (4,)) -> Dict[str, jnp.ndarray]:
+    """Pack one NeRFMLP's flax params into the kernel layout.
+
+    Only the reference architecture (depth 8, width 256, skip at 4) is
+    supported by the fused kernel; anything else falls back to XLA.
+    """
+    assert depth == 8 and width == 256 and tuple(skips) == (4,), (
+        "fused kernel supports the reference architecture only")
+    in_x = 3 + 6 * L_x
+    in_d = 3 + 6 * L_d
+    px = _emb_perm(L_x)
+    pd = _emb_perm(L_d)
+
+    g = lambda name: np.asarray(params[name]["kernel"])
+    b = lambda name: np.asarray(params[name]["bias"], np.float32)
+
+    packed = {}
+    # trunk_0: [in_x, 256] -> rows permuted to kernel emb order
+    w0 = g("trunk_0")[px, :]                      # [63, 256]
+    packed["w0"] = jnp.asarray(_t_pad(w0, width, EMBX_ROWS))
+    for i in range(1, depth):
+        w = g(f"trunk_{i}")
+        if i == 5:  # skip layer: input = [emb_x(63) ‖ h(256)]
+            we = w[:in_x, :][px, :]
+            wh = w[in_x:, :]
+            packed["w5e"] = jnp.asarray(_t_pad(we, width, EMBX_ROWS))
+            packed["w5h"] = jnp.asarray(_t_pad(wh, width, width))
+        else:
+            packed[f"w{i}"] = jnp.asarray(_t_pad(w, width, width))
+    for i in range(depth):
+        packed[f"b{i}"] = jnp.asarray(
+            b(f"trunk_{i}").reshape(width, 1), jnp.float32)
+
+    packed["wdens"] = jnp.asarray(_t_pad(g("density"), 8, width))
+    packed["bdens"] = jnp.asarray(
+        np.pad(b("density"), (0, 7)).reshape(8, 1), jnp.float32)
+    packed["wfeat"] = jnp.asarray(_t_pad(g("feature"), width, width))
+    packed["bfeat"] = jnp.asarray(b("feature").reshape(width, 1), jnp.float32)
+
+    wv = g("view")                                 # [256+27, 128]
+    packed["wvf"] = jnp.asarray(_t_pad(wv[:width, :], width // 2, width))
+    packed["wvd"] = jnp.asarray(_t_pad(wv[width:, :][pd, :],
+                                       width // 2, EMBD_ROWS))
+    packed["bv"] = jnp.asarray(b("view").reshape(width // 2, 1), jnp.float32)
+    packed["wcol"] = jnp.asarray(_t_pad(g("color"), 8, width // 2))
+    packed["bcol"] = jnp.asarray(
+        np.pad(b("color"), (0, 5)).reshape(8, 1), jnp.float32)
+    return packed
+
+
+# deterministic kernel argument order
+_W_NAMES = ("w0", "w1", "w2", "w3", "w4", "w5e", "w5h", "w6", "w7",
+            "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7",
+            "wdens", "bdens", "wfeat", "bfeat", "wvf", "wvd", "bv",
+            "wcol", "bcol")
+
+
+def _build_emb(x: jnp.ndarray, L: int, rows: int) -> jnp.ndarray:
+    """[3, T] coords -> [rows, T] bf16 embedding in kernel layout."""
+    t = x.shape[-1]
+    # frequencies applied as python-scalar multiplies: constant arrays and
+    # float iota are both rejected inside Mosaic kernels
+    sins = [jnp.sin(x * float(2.0 ** j)) for j in range(L)]   # each [3, T]
+    coss = [jnp.cos(x * float(2.0 ** j)) for j in range(L)]
+    pad = jnp.zeros((rows - 3 - 6 * L, t), jnp.float32)
+    emb = jnp.concatenate([x, *sins, *coss, pad], axis=0)
+    return emb.astype(jnp.bfloat16)
+
+
+def _mlp_kernel(L_x: int, L_d: int, xp_ref, dp_ref, *refs):
+    w = dict(zip(_W_NAMES, refs[:-1]))
+    out_ref = refs[-1]
+
+    def dot(a, h):
+        return jax.lax.dot_general(
+            a[:], h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    embx = _build_emb(xp_ref[:].astype(jnp.float32), L_x, EMBX_ROWS)
+    embd = _build_emb(dp_ref[:].astype(jnp.float32), L_d, EMBD_ROWS)
+
+    h = jax.nn.relu(dot(w["w0"], embx) + w["b0"][:]).astype(jnp.bfloat16)
+    for i in (1, 2, 3, 4):
+        h = jax.nn.relu(dot(w[f"w{i}"], h) + w[f"b{i}"][:]).astype(
+            jnp.bfloat16)
+    # skip: trunk_5 input is [emb_x ‖ h] -> two matmuls
+    h = jax.nn.relu(dot(w["w5e"], embx) + dot(w["w5h"], h)
+                    + w["b5"][:]).astype(jnp.bfloat16)
+    for i in (6, 7):
+        h = jax.nn.relu(dot(w[f"w{i}"], h) + w[f"b{i}"][:]).astype(
+            jnp.bfloat16)
+
+    sigma = dot(w["wdens"], h) + w["bdens"][:]            # [8, T] row 0
+    feat = (dot(w["wfeat"], h) + w["bfeat"][:]).astype(jnp.bfloat16)
+    hv = jax.nn.relu(dot(w["wvf"], feat) + dot(w["wvd"], embd)
+                     + w["bv"][:]).astype(jnp.bfloat16)
+    rgb = dot(w["wcol"], hv) + w["bcol"][:]               # [8, T] rows 0..2
+
+    out_ref[0:3, :] = rgb[0:3, :]
+    out_ref[3:4, :] = sigma[0:1, :]
+
+
+def fused_mlp_eval(xplane: jnp.ndarray, dplane: jnp.ndarray,
+                   packed: Dict[str, jnp.ndarray], L_x: int = 10,
+                   L_d: int = 4, tile: int = 8192,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Evaluate the fused NeRF MLP.
+
+    Args:
+      xplane: [3, P] sample positions (feature-major; P % tile == 0).
+      dplane: [3, P] unit view directions, one per point.
+    Returns:
+      [4, P] float32 raw outputs (rgb logits rows 0..2, sigma row 3).
+    """
+    p = xplane.shape[-1]
+    assert p % tile == 0, (p, tile)
+    n_tiles = p // tile
+
+    weight_specs = [
+        pl.BlockSpec(packed[n].shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for n in _W_NAMES
+    ]
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_mlp_kernel, L_x, L_d)
+    flops_per_pt = 2 * (64 * 256 + 6 * 256 * 256 + (64 + 256) * 256
+                        + 8 * 256 + 256 * 256 + (256 + 32) * 128 + 8 * 128)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pt * p,
+            bytes_accessed=(3 + 3) * 2 * p + 4 * 4 * p,
+            transcendentals=(6 * L_x + 6 * L_d) * p // 2),
+        interpret=interpret,
+    )(xplane, dplane, *[packed[n] for n in _W_NAMES])

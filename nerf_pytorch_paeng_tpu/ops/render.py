@@ -36,13 +36,44 @@ class RaysRender(NamedTuple):
     depth_f: Optional[jnp.ndarray]
 
 
-def _embed(pts: jnp.ndarray, viewdirs: jnp.ndarray, L_x: int, L_d: int):
-    """posenc(x) ‖ posenc(unit viewdir), flattened to [N*S, Cx+Cd]."""
-    n_rays, n_samples, _ = pts.shape
-    emb_x = positional_encoding(pts.reshape(-1, 3), L_x)
-    dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape).reshape(-1, 3)
-    emb_d = positional_encoding(dirs, L_d)
-    return jnp.concatenate([emb_x, emb_d], axis=-1)
+def make_xla_field_fns(model, params, cfg):
+    """Field functions ``(pts [P,3], dirs [P,3]) -> raw [P,4]`` on the XLA
+    path: positional-encode, then the flax MLP in compiled point-chunks."""
+    from ..models.nerf import NeRF  # local import to avoid a cycle
+
+    def build(method):
+        def fn(pts, dirs):
+            emb = jnp.concatenate(
+                [positional_encoding(pts, cfg.L_x),
+                 positional_encoding(dirs, cfg.L_d)], axis=-1)
+            apply1 = lambda x: model.apply({"params": params}, x,
+                                           method=method)
+            return chunked_apply(apply1, emb, cfg.chunk_pts)
+        return fn
+
+    return build(NeRF.coarse_fwd), build(NeRF.fine_fwd)
+
+
+def make_pallas_field_fns(packed_coarse, packed_fine, cfg, tile: int = 8192):
+    """Field functions on the fused Pallas kernel (kernels/fused_mlp.py):
+    feature-major planes in, [P,4] raw out.  Eval path only (no VJP)."""
+    from ..kernels.fused_mlp import fused_mlp_eval
+
+    def build(packed):
+        def fn(pts, dirs):
+            p = pts.shape[0]
+            pad = (-p) % tile
+            if pad:
+                pts = jnp.concatenate(
+                    [pts, jnp.zeros((pad, 3), pts.dtype)], 0)
+                dirs = jnp.concatenate(
+                    [dirs, jnp.ones((pad, 3), dirs.dtype)], 0)
+            out = fused_mlp_eval(pts.T, dirs.T, packed,
+                                 L_x=cfg.L_x, L_d=cfg.L_d, tile=tile)
+            return out.T[:p]
+        return fn
+
+    return build(packed_coarse), build(packed_fine)
 
 
 def chunked_apply(fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
@@ -93,7 +124,8 @@ def render_rays(
     """Render a flat batch of rays through the coarse(+fine) pipeline.
 
     Args:
-      coarse_fn/fine_fn: [P, C] embedded points -> [P, 4] raw outputs.
+      coarse_fn/fine_fn: field functions (pts [P,3], dirs [P,3]) -> [P,4]
+        raw outputs (see make_xla_field_fns / make_pallas_field_fns).
       rays_o/rays_d: [N, 3] (already NDC-projected for LLFF).
       stratified: jitter coarse bins (the reference always jitters,
         nerf_process.py:58-60; exposed for deterministic eval).
@@ -106,8 +138,8 @@ def render_rays(
     z_vals = stratified_z_vals(key_c, n_rays, near, far, n_coarse,
                                perturb=stratified)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    emb = _embed(pts, viewdirs, L_x, L_d)
-    raw_c = chunked_apply(coarse_fn, emb, chunk_pts).reshape(
+    dirs_c = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+    raw_c = coarse_fn(pts.reshape(-1, 3), dirs_c.reshape(-1, 3)).reshape(
         n_rays, n_coarse, 4)
     out_c = volume_render(raw_c, z_vals, rays_d, scan_impl)
 
@@ -122,8 +154,8 @@ def render_rays(
     z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
 
     pts_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
-    emb_f = _embed(pts_f, viewdirs, L_x, L_d)
-    raw_f = chunked_apply(fine_fn, emb_f, chunk_pts).reshape(
+    dirs_f = jnp.broadcast_to(viewdirs[:, None, :], pts_f.shape)
+    raw_f = fine_fn(pts_f.reshape(-1, 3), dirs_f.reshape(-1, 3)).reshape(
         n_rays, n_coarse + n_fine, 4)
     out_f = volume_render(raw_f, z_all, rays_d, scan_impl)
 

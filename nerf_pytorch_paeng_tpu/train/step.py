@@ -34,14 +34,9 @@ def mse2psnr(mse):
     return -10.0 * jnp.log(mse) / jnp.log(10.0)
 
 
-def _apply_fns(model: NeRF, params):
-    coarse = lambda x: model.apply({"params": params}, x, method=NeRF.coarse_fwd)
-    fine = lambda x: model.apply({"params": params}, x, method=NeRF.fine_fwd)
-    return coarse, fine
-
-
 def _loss_and_metrics(model, params, rays_o, rays_d, target, key, cfg):
-    coarse, fine = _apply_fns(model, params)
+    from ..ops.render import make_xla_field_fns
+    coarse, fine = make_xla_field_fns(model, params, cfg)
     out = render_rays_from_cfg(coarse, fine, rays_o, rays_d, key, cfg)
     loss_c = jnp.mean((out.rgb_c - target) ** 2)
     if cfg.N_samples_f > 0:

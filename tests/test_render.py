@@ -19,10 +19,9 @@ def small_cfg(**kw):
 
 
 def make_fns(cfg, key=0):
+    from nerf_pytorch_paeng_tpu.ops.render import make_xla_field_fns
     model, params = init_nerf(cfg, jax.random.PRNGKey(key))
-    coarse = lambda x: model.apply({"params": params}, x, method=NeRF.coarse_fwd)
-    fine = lambda x: model.apply({"params": params}, x, method=NeRF.fine_fwd)
-    return coarse, fine
+    return make_xla_field_fns(model, params, cfg)
 
 
 def rand_rays(n, seed=0):
