@@ -29,7 +29,7 @@ import numpy as np
 BASELINE_RAYS_PER_SEC = 13_500.0  # RTX 3090 estimate (see module docstring)
 
 
-def bench_train(n_steps: int = 15, reps: int = 3):
+def bench_train(n_steps: int = 15, reps: int = 3, use_pallas: bool = True):
     """Pipelined steps with a hard host sync per rep — on the remote TPU
     backend ``block_until_ready`` returns before execution finishes, so
     only a device->host value transfer gives a true wall time."""
@@ -37,7 +37,8 @@ def bench_train(n_steps: int = 15, reps: int = 3):
     from nerf_pytorch_paeng_tpu.train import (create_train_state,
                                               make_train_step)
 
-    cfg = NerfConfig(near=2.0, far=6.0)  # defaults == reference lego workload
+    # defaults == reference lego workload (4096 rays, 64+128, 8x256)
+    cfg = NerfConfig(near=2.0, far=6.0, use_pallas=use_pallas)
     model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
     step = jax.jit(make_train_step(model, tx, cfg))
 

@@ -56,12 +56,19 @@ def _emb_perm(L: int) -> np.ndarray:
     return perm
 
 
-def _t_pad(w: np.ndarray, rows: int, cols: int) -> np.ndarray:
-    """Transpose [in, out] -> [out, in], zero-pad to [rows, cols], bf16."""
-    wt = np.asarray(w, np.float32).T
-    out = np.zeros((rows, cols), np.float32)
-    out[: wt.shape[0], : wt.shape[1]] = wt
-    return out.astype(jnp.bfloat16)
+def _t_pad(w, rows: int, cols: int) -> jnp.ndarray:
+    """Transpose [in, out] -> [out, in], zero-pad to [rows, cols], bf16.
+
+    Pure jnp so packing is jit-traceable and *differentiable* — autodiff
+    through the pack maps packed-layout weight grads back to the flax
+    layout for free (VJP of transpose/pad/permute is its inverse).
+
+    Stored fp32 (kernels cast to bf16 at use) so the custom-VJP weight
+    grads keep full precision."""
+    wt = jnp.asarray(w, jnp.float32).T
+    out = jnp.zeros((rows, cols), jnp.float32)
+    out = out.at[: wt.shape[0], : wt.shape[1]].set(wt)
+    return out
 
 
 def pack_nerf_mlp_params(params: Dict, L_x: int = 10, L_d: int = 4,
@@ -79,40 +86,36 @@ def pack_nerf_mlp_params(params: Dict, L_x: int = 10, L_d: int = 4,
     px = _emb_perm(L_x)
     pd = _emb_perm(L_d)
 
-    g = lambda name: np.asarray(params[name]["kernel"])
-    b = lambda name: np.asarray(params[name]["bias"], np.float32)
+    g = lambda name: jnp.asarray(params[name]["kernel"], jnp.float32)
+    b = lambda name: jnp.asarray(params[name]["bias"], jnp.float32)
+
+    def bias_pad(v, rows):
+        return jnp.pad(v, (0, rows - v.shape[0])).reshape(rows, 1)
 
     packed = {}
     # trunk_0: [in_x, 256] -> rows permuted to kernel emb order
-    w0 = g("trunk_0")[px, :]                      # [63, 256]
-    packed["w0"] = jnp.asarray(_t_pad(w0, width, EMBX_ROWS))
+    packed["w0"] = _t_pad(g("trunk_0")[px, :], width, EMBX_ROWS)
     for i in range(1, depth):
         w = g(f"trunk_{i}")
         if i == 5:  # skip layer: input = [emb_x(63) ‖ h(256)]
-            we = w[:in_x, :][px, :]
-            wh = w[in_x:, :]
-            packed["w5e"] = jnp.asarray(_t_pad(we, width, EMBX_ROWS))
-            packed["w5h"] = jnp.asarray(_t_pad(wh, width, width))
+            packed["w5e"] = _t_pad(w[:in_x, :][px, :], width, EMBX_ROWS)
+            packed["w5h"] = _t_pad(w[in_x:, :], width, width)
         else:
-            packed[f"w{i}"] = jnp.asarray(_t_pad(w, width, width))
+            packed[f"w{i}"] = _t_pad(w, width, width)
     for i in range(depth):
-        packed[f"b{i}"] = jnp.asarray(
-            b(f"trunk_{i}").reshape(width, 1), jnp.float32)
+        packed[f"b{i}"] = b(f"trunk_{i}").reshape(width, 1)
 
-    packed["wdens"] = jnp.asarray(_t_pad(g("density"), 8, width))
-    packed["bdens"] = jnp.asarray(
-        np.pad(b("density"), (0, 7)).reshape(8, 1), jnp.float32)
-    packed["wfeat"] = jnp.asarray(_t_pad(g("feature"), width, width))
-    packed["bfeat"] = jnp.asarray(b("feature").reshape(width, 1), jnp.float32)
+    packed["wdens"] = _t_pad(g("density"), 8, width)
+    packed["bdens"] = bias_pad(b("density"), 8)
+    packed["wfeat"] = _t_pad(g("feature"), width, width)
+    packed["bfeat"] = b("feature").reshape(width, 1)
 
     wv = g("view")                                 # [256+27, 128]
-    packed["wvf"] = jnp.asarray(_t_pad(wv[:width, :], width // 2, width))
-    packed["wvd"] = jnp.asarray(_t_pad(wv[width:, :][pd, :],
-                                       width // 2, EMBD_ROWS))
-    packed["bv"] = jnp.asarray(b("view").reshape(width // 2, 1), jnp.float32)
-    packed["wcol"] = jnp.asarray(_t_pad(g("color"), 8, width // 2))
-    packed["bcol"] = jnp.asarray(
-        np.pad(b("color"), (0, 5)).reshape(8, 1), jnp.float32)
+    packed["wvf"] = _t_pad(wv[:width, :], width // 2, width)
+    packed["wvd"] = _t_pad(wv[width:, :][pd, :], width // 2, EMBD_ROWS)
+    packed["bv"] = b("view").reshape(width // 2, 1)
+    packed["wcol"] = _t_pad(g("color"), 8, width // 2)
+    packed["bcol"] = bias_pad(b("color"), 8)
     return packed
 
 
@@ -141,7 +144,7 @@ def _mlp_kernel(L_x: int, L_d: int, xp_ref, dp_ref, *refs):
 
     def dot(a, h):
         return jax.lax.dot_general(
-            a[:], h, (((1,), (0,)), ((), ())),
+            a[:].astype(jnp.bfloat16), h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     embx = _build_emb(xp_ref[:].astype(jnp.float32), L_x, EMBX_ROWS)

@@ -54,6 +54,32 @@ def make_xla_field_fns(model, params, cfg):
     return build(NeRF.coarse_fwd), build(NeRF.fine_fwd)
 
 
+def make_pallas_train_field_fns(params, cfg, tile: int = 1024):
+    """Differentiable field functions on the fused custom-VJP kernel pair
+    (kernels/fused_mlp_vjp.py).  Packing happens inside the trace, so
+    autodiff maps packed grads back to the flax tree automatically."""
+    from ..kernels.fused_mlp import pack_nerf_mlp_params
+    from ..kernels.fused_mlp_vjp import fused_mlp_train
+
+    def build(mlp_params):
+        packed = pack_nerf_mlp_params(mlp_params, L_x=cfg.L_x, L_d=cfg.L_d)
+
+        def fn(pts, dirs):
+            p = pts.shape[0]
+            pad = (-p) % tile
+            if pad:
+                pts = jnp.concatenate(
+                    [pts, jnp.zeros((pad, 3), pts.dtype)], 0)
+                dirs = jnp.concatenate(
+                    [dirs, jnp.ones((pad, 3), dirs.dtype)], 0)
+            out = fused_mlp_train(packed, pts.T, dirs.T,
+                                  L_x=cfg.L_x, L_d=cfg.L_d, tile=tile)
+            return out.T[:p]
+        return fn
+
+    return build(params["coarse"]), build(params["fine"])
+
+
 def make_pallas_field_fns(packed_coarse, packed_fine, cfg, tile: int = 8192):
     """Field functions on the fused Pallas kernel (kernels/fused_mlp.py):
     feature-major planes in, [P,4] raw out.  Eval path only (no VJP)."""

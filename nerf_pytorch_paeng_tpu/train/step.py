@@ -34,9 +34,17 @@ def mse2psnr(mse):
     return -10.0 * jnp.log(mse) / jnp.log(10.0)
 
 
+def _supports_pallas_train(cfg) -> bool:
+    return (cfg.use_pallas and cfg.netDepth == 8 and cfg.netWidth == 256
+            and cfg.L_x <= 10 and cfg.L_d <= 4)
+
+
 def _loss_and_metrics(model, params, rays_o, rays_d, target, key, cfg):
-    from ..ops.render import make_xla_field_fns
-    coarse, fine = make_xla_field_fns(model, params, cfg)
+    from ..ops.render import make_pallas_train_field_fns, make_xla_field_fns
+    if _supports_pallas_train(cfg):
+        coarse, fine = make_pallas_train_field_fns(params, cfg)
+    else:
+        coarse, fine = make_xla_field_fns(model, params, cfg)
     out = render_rays_from_cfg(coarse, fine, rays_o, rays_d, key, cfg)
     loss_c = jnp.mean((out.rgb_c - target) ** 2)
     if cfg.N_samples_f > 0:
