@@ -123,7 +123,11 @@ class NerfConfig:
     # device mesh: rays shard across `data`, MLP width across `model`.
     n_data_shards: int = 0        # 0 = all visible devices
     n_model_shards: int = 1
-    use_pallas: bool = False      # fused Pallas render kernel (eval path)
+    # fused Pallas kernels for the reference architecture (8x256): the
+    # custom-VJP pair for training (2.8x faster than XLA autodiff) and the
+    # eval kernel for rendering; auto-falls back to XLA for other shapes
+    # and runs interpreted off-TPU
+    use_pallas: bool = True
     log_dir: str = ""             # defaults to <repo>/logs
     profile: bool = False         # emit a jax.profiler trace of a few steps
     check_nans: bool = False      # enable jax_debug_nans (debugging)

@@ -24,7 +24,7 @@ from .config import NerfConfig
 from .data import load_blender, load_custom, load_llff
 from .eval.render import run_render
 from .eval.test import run_test
-from .parallel import (batch_sharding, make_mesh, make_sharded_train_step,
+from .parallel import (batch_sharding, make_mesh, make_train_step_for_mesh,
                        shard_params)
 from .parallel.mesh import maybe_initialize_distributed
 from .train import (RayPool, build_ray_pool, create_train_state,
@@ -117,8 +117,8 @@ def main_worker(cfg: NerfConfig) -> None:
         key, sub = jax.random.split(key)
         pool = build_ray_pool(images, K, extrinsics, i_train, sub)
         ray_pool = RayPool(pool, jax.random.fold_in(key, 17))
-        step_fn = make_sharded_train_step(
-            make_train_step(model, tx, cfg, H, W, float(K[0][0])), mesh)
+        step_fn = make_train_step_for_mesh(
+            model, tx, cfg, mesh, H, W, float(K[0][0]))
     else:
         print(">> per-image sampling mode")
         ray_pool = None

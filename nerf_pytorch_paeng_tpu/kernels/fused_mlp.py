@@ -126,7 +126,8 @@ _W_NAMES = ("w0", "w1", "w2", "w3", "w4", "w5e", "w5h", "w6", "w7",
             "wcol", "bcol")
 
 
-def _build_emb(x: jnp.ndarray, L: int, rows: int) -> jnp.ndarray:
+def _build_emb(x: jnp.ndarray, L: int, rows: int,
+               dtype=jnp.bfloat16) -> jnp.ndarray:
     """[3, T] coords -> [rows, T] bf16 embedding in kernel layout."""
     t = x.shape[-1]
     # frequencies applied as python-scalar multiplies: constant arrays and
@@ -135,36 +136,34 @@ def _build_emb(x: jnp.ndarray, L: int, rows: int) -> jnp.ndarray:
     coss = [jnp.cos(x * float(2.0 ** j)) for j in range(L)]
     pad = jnp.zeros((rows - 3 - 6 * L, t), jnp.float32)
     emb = jnp.concatenate([x, *sins, *coss, pad], axis=0)
-    return emb.astype(jnp.bfloat16)
+    return emb.astype(dtype)
 
 
-def _mlp_kernel(L_x: int, L_d: int, xp_ref, dp_ref, *refs):
+def _mlp_kernel(L_x: int, L_d: int, cdt, xp_ref, dp_ref, *refs):
     w = dict(zip(_W_NAMES, refs[:-1]))
     out_ref = refs[-1]
 
     def dot(a, h):
         return jax.lax.dot_general(
-            a[:].astype(jnp.bfloat16), h, (((1,), (0,)), ((), ())),
+            a[:].astype(cdt), h.astype(cdt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    embx = _build_emb(xp_ref[:].astype(jnp.float32), L_x, EMBX_ROWS)
-    embd = _build_emb(dp_ref[:].astype(jnp.float32), L_d, EMBD_ROWS)
+    embx = _build_emb(xp_ref[:].astype(jnp.float32), L_x, EMBX_ROWS, cdt)
+    embd = _build_emb(dp_ref[:].astype(jnp.float32), L_d, EMBD_ROWS, cdt)
 
-    h = jax.nn.relu(dot(w["w0"], embx) + w["b0"][:]).astype(jnp.bfloat16)
+    h = jax.nn.relu(dot(w["w0"], embx) + w["b0"][:]).astype(cdt)
     for i in (1, 2, 3, 4):
-        h = jax.nn.relu(dot(w[f"w{i}"], h) + w[f"b{i}"][:]).astype(
-            jnp.bfloat16)
+        h = jax.nn.relu(dot(w[f"w{i}"], h) + w[f"b{i}"][:]).astype(cdt)
     # skip: trunk_5 input is [emb_x ‖ h] -> two matmuls
     h = jax.nn.relu(dot(w["w5e"], embx) + dot(w["w5h"], h)
-                    + w["b5"][:]).astype(jnp.bfloat16)
+                    + w["b5"][:]).astype(cdt)
     for i in (6, 7):
-        h = jax.nn.relu(dot(w[f"w{i}"], h) + w[f"b{i}"][:]).astype(
-            jnp.bfloat16)
+        h = jax.nn.relu(dot(w[f"w{i}"], h) + w[f"b{i}"][:]).astype(cdt)
 
     sigma = dot(w["wdens"], h) + w["bdens"][:]            # [8, T] row 0
-    feat = (dot(w["wfeat"], h) + w["bfeat"][:]).astype(jnp.bfloat16)
+    feat = (dot(w["wfeat"], h) + w["bfeat"][:]).astype(cdt)
     hv = jax.nn.relu(dot(w["wvf"], feat) + dot(w["wvd"], embd)
-                     + w["bv"][:]).astype(jnp.bfloat16)
+                     + w["bv"][:]).astype(cdt)
     rgb = dot(w["wcol"], hv) + w["bcol"][:]               # [8, T] rows 0..2
 
     out_ref[0:3, :] = rgb[0:3, :]
@@ -204,7 +203,9 @@ def fused_mlp_eval(xplane: jnp.ndarray, dplane: jnp.ndarray,
         out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_mlp_kernel, L_x, L_d)
+    # interpret mode runs on CPU, whose dot thunk lacks bf16 support
+    cdt = jnp.float32 if interpret else jnp.bfloat16
+    kernel = functools.partial(_mlp_kernel, L_x, L_d, cdt)
     flops_per_pt = 2 * (64 * 256 + 6 * 256 * 256 + (64 + 256) * 256
                         + 8 * 256 + 256 * 256 + (256 + 32) * 128 + 8 * 128)
     return pl.pallas_call(

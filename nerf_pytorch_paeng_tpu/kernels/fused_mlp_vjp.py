@@ -52,7 +52,7 @@ def _dot_l(w, g):  # W^T @ g: [O, I]^T [O, T] -> [I, T]
                                preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(L_x: int, L_d: int, xp_ref, dp_ref, g_ref, *refs):
+def _bwd_kernel(L_x: int, L_d: int, cdt, xp_ref, dp_ref, g_ref, *refs):
     w_refs = dict(zip(_W_NAMES, refs[: len(_W_NAMES)]))
     gr = dict(zip(_W_NAMES, refs[len(_W_NAMES):]))
 
@@ -61,12 +61,12 @@ def _bwd_kernel(L_x: int, L_d: int, xp_ref, dp_ref, g_ref, *refs):
         for name in _W_NAMES:
             gr[name][:] = jnp.zeros_like(gr[name])
 
-    bf = jnp.bfloat16
-    # weights cast to bf16 for the MXU once per tile; biases stay fp32
+    bf = cdt
+    # weights cast to the compute dtype for the MXU once per tile; biases fp32
     w = {n: (w_refs[n][:].astype(bf) if n.startswith("w")
              else w_refs[n][:]) for n in _W_NAMES}
-    embx = _build_emb(xp_ref[:].astype(jnp.float32), L_x, EMBX_ROWS)
-    embd = _build_emb(dp_ref[:].astype(jnp.float32), L_d, EMBD_ROWS)
+    embx = _build_emb(xp_ref[:].astype(jnp.float32), L_x, EMBX_ROWS, bf)
+    embd = _build_emb(dp_ref[:].astype(jnp.float32), L_d, EMBD_ROWS, bf)
 
     # ---- forward recompute, keeping post-relu activations --------------
     hs = []
@@ -166,7 +166,8 @@ def _bwd_call(xplane, dplane, g, packed: Dict, L_x: int, L_d: int,
         jax.ShapeDtypeStruct(packed[n].shape, jnp.float32) for n in _W_NAMES)
 
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, L_x, L_d),
+        functools.partial(_bwd_kernel, L_x, L_d,
+                          jnp.float32 if interpret else jnp.bfloat16),
         grid_spec=pl.GridSpec(grid=(n_tiles,), in_specs=in_specs,
                               out_specs=out_specs),
         out_shape=out_shape,

@@ -54,12 +54,19 @@ def make_xla_field_fns(model, params, cfg):
     return build(NeRF.coarse_fwd), build(NeRF.fine_fwd)
 
 
+def _pallas_interpret() -> bool:
+    """Run Pallas kernels in interpreter mode off-TPU (tests, dryruns)."""
+    return jax.default_backend() != "tpu"
+
+
 def make_pallas_train_field_fns(params, cfg, tile: int = 1024):
     """Differentiable field functions on the fused custom-VJP kernel pair
     (kernels/fused_mlp_vjp.py).  Packing happens inside the trace, so
     autodiff maps packed grads back to the flax tree automatically."""
     from ..kernels.fused_mlp import pack_nerf_mlp_params
     from ..kernels.fused_mlp_vjp import fused_mlp_train
+
+    interpret = _pallas_interpret()
 
     def build(mlp_params):
         packed = pack_nerf_mlp_params(mlp_params, L_x=cfg.L_x, L_d=cfg.L_d)
@@ -73,7 +80,8 @@ def make_pallas_train_field_fns(params, cfg, tile: int = 1024):
                 dirs = jnp.concatenate(
                     [dirs, jnp.ones((pad, 3), dirs.dtype)], 0)
             out = fused_mlp_train(packed, pts.T, dirs.T,
-                                  L_x=cfg.L_x, L_d=cfg.L_d, tile=tile)
+                                  L_x=cfg.L_x, L_d=cfg.L_d, tile=tile,
+                                  interpret=interpret)
             return out.T[:p]
         return fn
 
@@ -85,6 +93,8 @@ def make_pallas_field_fns(packed_coarse, packed_fine, cfg, tile: int = 8192):
     feature-major planes in, [P,4] raw out.  Eval path only (no VJP)."""
     from ..kernels.fused_mlp import fused_mlp_eval
 
+    interpret = _pallas_interpret()
+
     def build(packed):
         def fn(pts, dirs):
             p = pts.shape[0]
@@ -95,7 +105,8 @@ def make_pallas_field_fns(packed_coarse, packed_fine, cfg, tile: int = 8192):
                 dirs = jnp.concatenate(
                     [dirs, jnp.ones((pad, 3), dirs.dtype)], 0)
             out = fused_mlp_eval(pts.T, dirs.T, packed,
-                                 L_x=cfg.L_x, L_d=cfg.L_d, tile=tile)
+                                 L_x=cfg.L_x, L_d=cfg.L_d, tile=tile,
+                                 interpret=interpret)
             return out.T[:p]
         return fn
 

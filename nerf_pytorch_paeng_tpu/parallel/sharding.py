@@ -84,7 +84,9 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def make_sharded_train_step(train_step, mesh: Mesh):
-    """jit the train step with ray-batch inputs pinned to the data axis.
+    """jit the train step with ray-batch inputs pinned to the data axis
+    (GSPMD path: works for XLA field functions and for TP, exact parity
+    with single-device numerics).
 
     The state argument keeps whatever shardings its arrays carry (params
     replicated or TP-sharded); the constraint on the batch is what makes
@@ -100,6 +102,42 @@ def make_sharded_train_step(train_step, mesh: Mesh):
         return train_step(state, rays_o, rays_d, target, key)
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_shardmap_train_step(axis_step, mesh: Mesh):
+    """Explicit-collective DP: shard_map the step over the 'data' axis.
+
+    ``axis_step`` must be built with ``make_train_step(...,
+    axis_name='data')`` so it pmeans grads/metrics itself.  This is the
+    path that supports the Pallas kernels (pallas_call cannot be sliced by
+    GSPMD; under shard_map each shard runs the kernel on its own rays).
+    Per-shard jitter keys are decorrelated via axis_index, so the random
+    stream differs from (but is statistically identical to) single-device.
+    """
+    state_spec = P()  # replicated pytree prefix
+    step = jax.shard_map(
+        axis_step, mesh=mesh,
+        in_specs=(state_spec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(state_spec, state_spec),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
+                             H: int = 0, W: int = 0, focal: float = 0.0):
+    """Pick the right distributed train step for this config/mesh:
+    shard_map DP for the Pallas kernels; GSPMD otherwise (incl. TP)."""
+    from ..train.step import _supports_pallas_train, make_train_step
+
+    n_model = dict(mesh.shape).get(MODEL_AXIS, 1)
+    n_data = dict(mesh.shape).get(DATA_AXIS, 1)
+    if _supports_pallas_train(cfg) and n_model == 1 and n_data > 1:
+        step = make_train_step(model, tx, cfg, H, W, focal,
+                               axis_name=DATA_AXIS)
+        return make_shardmap_train_step(step, mesh)
+    step = make_train_step(model, tx, cfg, H, W, focal)
+    return make_sharded_train_step(step, mesh)
 
 
 def make_sharded_render(render_fn, mesh: Mesh):

@@ -60,17 +60,25 @@ def _loss_and_metrics(model, params, rays_o, rays_d, target, key, cfg):
 
 
 def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
-                    H: int = 0, W: int = 0, focal: float = 0.0
+                    H: int = 0, W: int = 0, focal: float = 0.0,
+                    axis_name: str = None
                     ) -> Callable[..., Tuple[TrainState, Dict[str, Any]]]:
     """Global-batch train step: (state, rays_o, rays_d, target, key).
 
     H/W/focal are only consumed for LLFF's NDC projection — the reference
     applies NDC per step inside the render (nerf_process.py:224-226) even
     in global-batch mode, so the pool holds raw camera rays.
+
+    With ``axis_name`` the step is shard_map-ready: the sampling key is
+    decorrelated per shard and gradients/metrics are pmean'd over the axis
+    (the explicit-collective DP path used with the Pallas kernels, which
+    cannot live under GSPMD auto-sharding).
     """
 
     def train_step(state: TrainState, rays_o, rays_d, target, key):
         key = jax.random.fold_in(key, state.step)
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         rays_o, rays_d = maybe_ndc(rays_o, rays_d, H, W, focal, cfg.data_type)
 
         def loss_fn(params):
@@ -79,6 +87,9 @@ def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), metrics
