@@ -132,8 +132,19 @@ def main_worker(cfg: NerfConfig) -> None:
     step_key = jax.random.PRNGKey(cfg.seed + 3)
 
     # ---- 6. the loop (reference main.py:124-161) -------------------------
-    pending = None  # (step_idx, metrics) not yet materialised
+    profile_dir = os.path.join(cfg.logdir, cfg.exp_name, "profile")
     for i in trange(cfg.iter_start + 1, cfg.iter_N + 1):
+        if cfg.profile and i == cfg.iter_start + 10:
+            try:  # trace a few steady-state steps (SURVEY §5 observability)
+                jax.profiler.start_trace(profile_dir)
+            except Exception as e:
+                print(f">> profiler unavailable: {e}")
+        if cfg.profile and i == cfg.iter_start + 15:
+            try:
+                jax.profiler.stop_trace()
+                print(f">> profiler trace written to {profile_dir}")
+            except Exception:
+                pass
         if cfg.global_batch:
             o, d, rgb = ray_pool.next_batch(cfg.N_rays)
             o = jax.device_put(o, bs)
