@@ -41,26 +41,48 @@ def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     focal = float(K[0, 0])
     n_fine = cfg.N_samples_f
     use_pallas = _supports_pallas(cfg)
+    n_mesh = 1 if mesh is None else int(np.prod(list(dict(mesh.shape).values())))
 
-    def _render(params, c2w, key):
+    def _field_fns(params):
         if use_pallas:
-            coarse, fine = make_pallas_field_fns(
+            return make_pallas_field_fns(
                 params["packed_coarse"], params["packed_fine"], cfg)
-        else:
-            coarse, fine = make_xla_field_fns(model, params, cfg)
-        rays_o, rays_d = get_rays(H, W, K, c2w)
-        rays_o = rays_o.reshape(-1, 3)
-        rays_d = rays_d.reshape(-1, 3)
-        rays_o, rays_d = maybe_ndc(rays_o, rays_d, H, W, focal, cfg.data_type)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            bs = NamedSharding(mesh, P("data"))
-            rays_o = jax.lax.with_sharding_constraint(rays_o, bs)
-            rays_d = jax.lax.with_sharding_constraint(rays_d, bs)
+        return make_xla_field_fns(model, params, cfg)
+
+    def _render_rays_flat(params, rays_o, rays_d, key):
+        coarse, fine = _field_fns(params)
         out = render_frame(coarse, fine, rays_o, rays_d, key, cfg,
                            block_rays=block_rays, stratified=stratified)
         rgb = out.rgb_f if n_fine > 0 else out.rgb_c
         disp = out.disp_f if n_fine > 0 else out.disp_c
+        return rgb, disp
+
+    def _render(params, c2w, key):
+        rays_o, rays_d = get_rays(H, W, K, c2w)
+        rays_o = rays_o.reshape(-1, 3)
+        rays_d = rays_d.reshape(-1, 3)
+        rays_o, rays_d = maybe_ndc(rays_o, rays_d, H, W, focal, cfg.data_type)
+        if n_mesh > 1:
+            # shard rays over the full mesh: shard_map runs the (possibly
+            # Pallas) render per-shard — GSPMD cannot slice a pallas_call.
+            from jax.sharding import PartitionSpec as P
+            n_pad = (-rays_o.shape[0]) % n_mesh
+            if n_pad:
+                rays_o = jnp.concatenate(
+                    [rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
+                rays_d = jnp.concatenate(
+                    [rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)
+            axes = tuple(mesh.axis_names)
+            rgb, disp = jax.shard_map(
+                _render_rays_flat,
+                mesh=mesh,
+                in_specs=(P(), P(axes), P(axes), P()),
+                out_specs=P(axes),
+                check_vma=False,
+            )(params, rays_o, rays_d, key)
+            rgb, disp = rgb[: H * W], disp[: H * W]
+        else:
+            rgb, disp = _render_rays_flat(params, rays_o, rays_d, key)
         return rgb.reshape(H, W, 3), disp.reshape(H, W)
 
     jitted = jax.jit(_render)
