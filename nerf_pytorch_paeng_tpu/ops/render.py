@@ -88,7 +88,7 @@ def make_pallas_train_field_fns(params, cfg, tile: int = 1024):
     return build(params["coarse"]), build(params["fine"])
 
 
-def make_pallas_field_fns(packed_coarse, packed_fine, cfg, tile: int = 8192):
+def make_pallas_field_fns(packed_coarse, packed_fine, cfg, tile: int = 16384):
     """Field functions on the fused Pallas kernel (kernels/fused_mlp.py):
     feature-major planes in, [P,4] raw out.  Eval path only (no VJP)."""
     from ..kernels.fused_mlp import fused_mlp_eval
