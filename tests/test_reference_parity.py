@@ -1,0 +1,279 @@
+"""Numeric parity against the actual reference implementation.
+
+These tests import the reference PyTorch code read-only from
+/root/reference (torch CPU) and compare our JAX ops on identical inputs.
+Only reference functions that are device-agnostic can run on CPU (several
+hardcode cuda devices); those cover the math that matters for PSNR parity:
+positional encoding, the MLP architecture, ray generation, NDC, render
+poses and the LR schedule.  Everything else is covered by the independent
+numpy oracles in the other test files.
+
+Skipped wholesale when the reference tree isn't mounted.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")
+
+if os.path.isdir(REF):
+    sys.path.insert(0, REF)
+    import torch
+
+
+def test_posenc_parity():
+    from model.PositionalEncoding import get_positional_encoder
+
+    import jax.numpy as jnp
+    from nerf_pytorch_paeng_tpu.ops.posenc import positional_encoding
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(33, 3)).astype(np.float32)
+    for L in (4, 10):
+        ref_fn, ref_dim = get_positional_encoder(L)
+        want = ref_fn(torch.from_numpy(x)).numpy()
+        got = np.asarray(positional_encoding(jnp.asarray(x), L))
+        assert got.shape[-1] == ref_dim
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_mlp_forward_parity():
+    """Inject our flax params into the reference NeRFModule: identical
+    outputs at fp32 proves the architecture wiring (skip position, head
+    topology, activation placement) matches exactly."""
+    from model.NeRF import NeRFModule
+
+    import jax
+    import jax.numpy as jnp
+    from nerf_pytorch_paeng_tpu.config import NerfConfig
+    from nerf_pytorch_paeng_tpu.models import NeRF, init_nerf
+
+    cfg = NerfConfig(compute_dtype="float32")
+    model, params = init_nerf(cfg, jax.random.PRNGKey(0))
+    mlp = params["fine"]
+
+    ref = NeRFModule(D=8, W=256, input_ch=63, input_ch_d=27)
+    with torch.no_grad():
+        for i in range(8):
+            ref.linear_x[i].weight.copy_(
+                torch.from_numpy(np.asarray(mlp[f"trunk_{i}"]["kernel"]).T))
+            ref.linear_x[i].bias.copy_(
+                torch.from_numpy(np.asarray(mlp[f"trunk_{i}"]["bias"])))
+        for ours, theirs in (("density", ref.linear_density),
+                             ("feature", ref.linear_feat),
+                             ("view", ref.linear_d),
+                             ("color", ref.linear_color)):
+            theirs.weight.copy_(
+                torch.from_numpy(np.asarray(mlp[ours]["kernel"]).T))
+            theirs.bias.copy_(
+                torch.from_numpy(np.asarray(mlp[ours]["bias"])))
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(64, 90)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                 method=NeRF.fine_fwd))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_get_rays_parity():
+    from rays import get_rays_np
+
+    import jax.numpy as jnp
+    from nerf_pytorch_paeng_tpu.ops.rays import get_rays
+
+    K = np.array([[25.0, 0, 8.0], [0, 25.0, 6.0], [0, 0, 1]])
+    rng = np.random.default_rng(2)
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    c2w = np.concatenate([q, rng.normal(size=(3, 1))], 1).astype(np.float32)
+    ro_ref, rd_ref = get_rays_np(12, 16, K, c2w)
+    ro, rd = get_rays(12, 16, jnp.asarray(K, jnp.float32), jnp.asarray(c2w))
+    np.testing.assert_allclose(np.asarray(ro), ro_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rd), rd_ref, rtol=1e-5, atol=1e-5)
+
+
+def _load_ref_module(name, relpath):
+    """Import a reference file directly, stubbing unavailable deps and
+    bypassing package __init__ chains (IQA_pytorch/skimage aren't in this
+    image and aren't needed for the functions under test)."""
+    import importlib.util
+    import types
+
+    if "IQA_pytorch" not in sys.modules:
+        stub = types.ModuleType("IQA_pytorch")
+        stub.SSIM = stub.LPIPSvgg = object
+        sys.modules["IQA_pytorch"] = stub
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_ndc_parity():
+    ref_ndc = _load_ref_module("ref_nerf_process", "nerf_process.py").ndc_rays
+
+    import jax.numpy as jnp
+    from nerf_pytorch_paeng_tpu.ops.rays import ndc_rays
+
+    rng = np.random.default_rng(3)
+    n = 32
+    ro = rng.normal(size=(n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd[:, 2] = -np.abs(rd[:, 2]) - 0.5
+    ro[:, 2] = -np.abs(ro[:, 2]) - 2.0
+    wo, wd = ref_ndc(10, 14, 18.0, 1.0, torch.from_numpy(ro),
+                     torch.from_numpy(rd))
+    go, gd = ndc_rays(10, 14, 18.0, 1.0, jnp.asarray(ro), jnp.asarray(rd))
+    np.testing.assert_allclose(np.asarray(go), wo.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), wd.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_render_pose_parity():
+    ref_poses = _load_ref_module(
+        "ref_render_pose", "dataset/render_pose.py").get_render_pose
+
+    from nerf_pytorch_paeng_tpu.data.render_pose import get_render_pose
+
+    want = ref_poses(n_angle=40, single_angle=-1, phi=-30.0, nf=4.0).numpy()
+    got = get_render_pose(n_angle=40, single_angle=-1, phi=-30.0, nf=4.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    want1 = ref_poses(n_angle=40, single_angle=120.0, phi=-30.0,
+                      nf=4.0).numpy()
+    got1 = get_render_pose(n_angle=40, single_angle=120.0, phi=-30.0, nf=4.0)
+    np.testing.assert_allclose(got1, want1[None] if want1.ndim == 2 else
+                               want1, rtol=1e-5, atol=1e-6)
+
+
+def test_lr_schedule_parity():
+    from scheduler import CosineAnnealingWarmupRestarts
+
+    from nerf_pytorch_paeng_tpu.train.schedule import (
+        cosine_annealing_warmup_restarts)
+
+    dummy = torch.nn.Linear(2, 2)
+    opt = torch.optim.Adam(dummy.parameters(), lr=5e-4)
+    sched = CosineAnnealingWarmupRestarts(
+        opt, first_cycle_steps=501, cycle_mult=1.0, max_lr=5e-4,
+        min_lr=5e-5, warmup_steps=50)
+    # reference semantics: train iter i runs with the lr set before
+    # scheduler.step() is called at iter end (main.py:124-161)
+    for i in range(1, 502):
+        ref_lr = opt.param_groups[0]["lr"]
+        ours = float(cosine_annealing_warmup_restarts(
+            i - 1, 501, 50, 5e-4, 5e-5))
+        np.testing.assert_allclose(ours, ref_lr, rtol=1e-5,
+                                   err_msg=f"iter {i}")
+        sched.step()
+
+
+def test_full_render_rays_parity():
+    """End-to-end render-core parity: run the *actual reference*
+    render_rays (nerf_process.py:185) on CPU — cuda devices patched to cpu,
+    torch.rand replaying the exact jitter our JAX path draws, our flax
+    weights injected into the reference torch modules — and compare
+    rgb/disp, coarse and fine, at fp32."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from nerf_pytorch_paeng_tpu.config import NerfConfig
+    from nerf_pytorch_paeng_tpu.models import init_nerf
+    from nerf_pytorch_paeng_tpu.ops.render import (make_xla_field_fns,
+                                                   render_rays)
+
+    ref_np = _load_ref_module("ref_nerf_process2", "nerf_process.py")
+    from model.NeRF import NeRFModule
+    from model.PositionalEncoding import get_positional_encoder
+
+    N, SC, SF = 64, 16, 32
+    cfg = NerfConfig(compute_dtype="float32", N_samples_c=SC, N_samples_f=SF,
+                     near=2.0, far=6.0, use_pallas=False)
+    model, params = init_nerf(cfg, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(7)
+    rays_o = rng.normal(size=(N, 3)).astype(np.float32)
+    rays_d = rng.normal(size=(N, 3)).astype(np.float32)
+    tgt_key = jax.random.PRNGKey(11)
+
+    # ---- our path (XLA fp32) -------------------------------------------
+    coarse, fine = make_xla_field_fns(model, params, cfg)
+    ours = render_rays(coarse, fine, jnp.asarray(rays_o), jnp.asarray(rays_d),
+                       tgt_key, near=2.0, far=6.0, n_coarse=SC, n_fine=SF,
+                       L_x=10, L_d=4, perturb=1.0)
+
+    # replicate the exact uniform draws our pipeline makes
+    key_c, key_f = jax.random.split(tgt_key)
+    t_rand = np.asarray(jax.random.uniform(key_c, (N, SC), jnp.float32))
+    u_fine = np.asarray(jax.random.uniform(key_f, (N, SF), jnp.float32))
+
+    # ---- reference path on CPU -----------------------------------------
+    def inject(mlp):
+        ref = NeRFModule(D=8, W=256, input_ch=63, input_ch_d=27)
+        with torch.no_grad():
+            for i in range(8):
+                ref.linear_x[i].weight.copy_(torch.from_numpy(
+                    np.asarray(mlp[f"trunk_{i}"]["kernel"]).T))
+                ref.linear_x[i].bias.copy_(torch.from_numpy(
+                    np.asarray(mlp[f"trunk_{i}"]["bias"])))
+            for ours_name, theirs in (("density", ref.linear_density),
+                                      ("feature", ref.linear_feat),
+                                      ("view", ref.linear_d),
+                                      ("color", ref.linear_color)):
+                theirs.weight.copy_(torch.from_numpy(
+                    np.asarray(mlp[ours_name]["kernel"]).T))
+                theirs.bias.copy_(torch.from_numpy(
+                    np.asarray(mlp[ours_name]["bias"])))
+        return ref.eval()
+
+    ref_coarse, ref_fine = inject(params["coarse"]), inject(params["fine"])
+
+    class RefPair(torch.nn.Module):
+        def forward(self, x, is_fine=False):
+            return ref_fine(x) if is_fine else ref_coarse(x)
+
+    opts = types.SimpleNamespace(
+        N_samples_c=SC, N_samples_f=SF, near=2.0, far=6.0, perturb=1.0,
+        chunk_pts=1 << 20, gpu_ids=[0], rank=0)
+
+    fn_x, _ = get_positional_encoder(10)
+    fn_d, _ = get_positional_encoder(4)
+
+    rand_queue = [torch.from_numpy(t_rand), torch.from_numpy(u_fine)]
+    orig_device, orig_rand, orig_to = (torch.device, torch.rand,
+                                       torch.Tensor.to)
+    try:
+        torch.device = lambda *a, **k: orig_device("cpu")
+        torch.rand = lambda *a, **k: rand_queue.pop(0)
+        def _to(self, *a, **k):
+            if a and a[0] == -1:
+                return orig_to(self, "cpu")
+            return orig_to(self, *a, **k)
+        torch.Tensor.to = _to
+        with torch.no_grad():
+            rays = torch.cat([torch.from_numpy(rays_o),
+                              torch.from_numpy(rays_d)], -1)
+            want = ref_np.render_rays(rays, RefPair(), (fn_x, fn_d), opts)
+    finally:
+        torch.device, torch.rand, torch.Tensor.to = (orig_device, orig_rand,
+                                                     orig_to)
+
+    np.testing.assert_allclose(np.asarray(ours.rgb_c),
+                               want["rgb_c"].numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ours.disp_c),
+                               want["disp_c"].numpy(), rtol=2e-3, atol=2e-3)
+    # the fine pass stacks two MLP evals + resampling on top of fp32
+    # matmul association differences between XLA and torch, so its noise
+    # floor is a bit higher (observed max ~7.5e-4 on a few elements)
+    np.testing.assert_allclose(np.asarray(ours.rgb_f),
+                               want["rgb_f"].numpy(), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ours.disp_f),
+                               want["disp_f"].numpy(), rtol=5e-3, atol=5e-3)
