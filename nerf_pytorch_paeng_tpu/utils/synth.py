@@ -96,13 +96,18 @@ def save_as_blender_dataset(root: str, n_train: int = 4, n_val: int = 1,
     imgs, K, poses = make_synth_scene(n_views=n, H=H, W=W, radius=radius)
     focal = float(K[0, 0])
     camera_angle_x = 2.0 * float(np.arctan(W / (2.0 * focal)))
-    splits = (("train", 0, n_train), ("val", n_train, n_train + n_val),
-              ("test", n_train + n_val, n))
-    for split, lo, hi in splits:
+    # interleave the splits around the orbit so held-out views sit between
+    # training views (consecutive assignment would cluster all test views
+    # in an unobserved arc and measure extrapolation, not reconstruction)
+    order = np.random.default_rng(0).permutation(n)
+    splits = (("train", order[:n_train]),
+              ("val", order[n_train:n_train + n_val]),
+              ("test", order[n_train + n_val:]))
+    for split, view_ids in splits:
         os.makedirs(os.path.join(root, split), exist_ok=True)
         frames = []
-        for i in range(lo, hi):
-            rel = f"{split}/r_{i - lo}"
+        for j, i in enumerate(view_ids):
+            rel = f"{split}/r_{j}"
             rgba = np.concatenate(
                 [imgs[i], np.ones_like(imgs[i][..., :1])], -1)
             imageio.imwrite(os.path.join(root, rel + ".png"),
