@@ -15,7 +15,7 @@ import dataclasses
 import os
 import re
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 LOG_DIR = os.path.join(
     os.path.abspath(os.path.dirname(os.path.realpath(__file__))), os.pardir, "logs"

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List, Tuple
+from typing import List
 
 import cv2
 import imageio.v2 as imageio

@@ -8,8 +8,6 @@ depth percentiles (0.1 / 99.9) of the 3D points visible in that image.
 from __future__ import annotations
 
 import os
-from typing import Tuple
-
 import numpy as np
 
 from .read_model import (qvec2rotmat, read_cameras_binary,

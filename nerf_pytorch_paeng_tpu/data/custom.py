@@ -9,12 +9,10 @@ with spherify always on, and derive near/far from the rescaled bounds
 from __future__ import annotations
 
 import os
-from typing import Tuple
-
 import cv2
 import numpy as np
 
-from .llff import (_load_data, poses_avg, recenter_poses, spherify_poses)
+from .llff import _load_data, recenter_poses, spherify_poses
 
 
 def extract_frames_from_video(data_root: str, batch: int = 30,

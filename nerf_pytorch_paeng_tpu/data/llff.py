@@ -14,7 +14,7 @@ Differences by design:
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import cv2
 import imageio.v2 as imageio

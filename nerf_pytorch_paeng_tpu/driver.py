@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,7 @@ from .parallel import (batch_sharding, make_mesh, make_train_step_for_mesh,
                        shard_params)
 from .parallel.mesh import maybe_initialize_distributed
 from .train import (RayPool, build_ray_pool, create_train_state,
-                    make_image_train_step, make_train_step)
+                    make_image_train_step)
 from .train.checkpoint import (restore_checkpoint, restore_params_only,
                                save_checkpoint)
 from .utils.logging import MetricLogger

@@ -7,7 +7,6 @@ Optionally sharded over the mesh 'data' axis for multi-chip rendering.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -9,7 +9,7 @@ resumes correctly (the reference restarts its scheduler from 0 on resume).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
