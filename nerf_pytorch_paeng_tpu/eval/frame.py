@@ -1,9 +1,19 @@
 """Compiled full-frame renderer shared by test/render/bench paths.
 
-One jit program renders an entire pose: ray generation, optional NDC, and
-the blocked coarse+fine render all stay on device (the reference loops
-4096-ray chunks on the host per frame, test.py:40 / nerf_process.py:236).
-Optionally sharded over the mesh 'data' axis for multi-chip rendering.
+One jitted program renders a fixed-size block of rays through the whole
+coarse+fine pipeline; a frame is a pipelined sequence of block dispatches
+(async — the host never blocks between launches).  The reference's
+per-frame host loop did the same shape of work but with per-chunk
+host<->device copies (test.py:40 / nerf_process.py:236); here each block
+is one device program and only the final frame crosses back.
+
+Note: the blocks are a host loop rather than a ``lax.map`` on purpose —
+embedding the two fused Pallas kernels in a scanned loop body trips a TPU
+runtime fault (worker crash), and pipelined dispatch costs nothing at
+these block sizes.
+
+With a >1-device mesh, each block additionally shard_maps its rays over
+the whole mesh (pallas_call runs per-shard; GSPMD cannot slice it).
 """
 from __future__ import annotations
 
@@ -11,13 +21,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-
 import numpy as np
 
 from ..models.nerf import NeRF
 from ..ops.rays import get_rays
 from ..ops.render import (make_pallas_field_fns, make_xla_field_fns,
-                          maybe_ndc, render_frame)
+                          maybe_ndc, render_rays_from_cfg)
 
 
 def _supports_pallas(cfg) -> bool:
@@ -40,7 +49,9 @@ def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     focal = float(K[0, 0])
     n_fine = cfg.N_samples_f
     use_pallas = _supports_pallas(cfg)
-    n_mesh = 1 if mesh is None else int(np.prod(list(dict(mesh.shape).values())))
+    block = block_rays or cfg.chunk_rays
+    n_mesh = 1 if mesh is None else int(
+        np.prod(list(dict(mesh.shape).values())))
 
     def _field_fns(params):
         if use_pallas:
@@ -48,45 +59,55 @@ def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
                 params["packed_coarse"], params["packed_fine"], cfg)
         return make_xla_field_fns(model, params, cfg)
 
-    def _render_rays_flat(params, rays_o, rays_d, key):
+    @jax.jit
+    def gen_rays(c2w):
+        rays_o, rays_d = get_rays(H, W, K, c2w)
+        rays_o = rays_o.reshape(-1, 3)
+        rays_d = rays_d.reshape(-1, 3)
+        return maybe_ndc(rays_o, rays_d, H, W, focal, cfg.data_type)
+
+    def _block_body(params, rays_o, rays_d, key):
         coarse, fine = _field_fns(params)
-        out = render_frame(coarse, fine, rays_o, rays_d, key, cfg,
-                           block_rays=block_rays, stratified=stratified)
+        out = render_rays_from_cfg(coarse, fine, rays_o, rays_d, key, cfg,
+                                   stratified=stratified)
         rgb = out.rgb_f if n_fine > 0 else out.rgb_c
         disp = out.disp_f if n_fine > 0 else out.disp_c
         return rgb, disp
 
+    if n_mesh > 1:
+        from jax.sharding import PartitionSpec as P
+        axes = tuple(mesh.axis_names)
+        render_block = jax.jit(jax.shard_map(
+            _block_body, mesh=mesh,
+            in_specs=(P(), P(axes), P(axes), P()),
+            out_specs=P(axes), check_vma=False))
+    else:
+        render_block = jax.jit(_block_body)
+
     def _render(params, c2w, key):
-        rays_o, rays_d = get_rays(H, W, K, c2w)
-        rays_o = rays_o.reshape(-1, 3)
-        rays_d = rays_d.reshape(-1, 3)
-        rays_o, rays_d = maybe_ndc(rays_o, rays_d, H, W, focal, cfg.data_type)
-        if n_mesh > 1:
-            # shard rays over the full mesh: shard_map runs the (possibly
-            # Pallas) render per-shard — GSPMD cannot slice a pallas_call.
-            from jax.sharding import PartitionSpec as P
-            n_pad = (-rays_o.shape[0]) % n_mesh
-            if n_pad:
-                rays_o = jnp.concatenate(
-                    [rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
-                rays_d = jnp.concatenate(
-                    [rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)
-            axes = tuple(mesh.axis_names)
-            rgb, disp = jax.shard_map(
-                _render_rays_flat,
-                mesh=mesh,
-                in_specs=(P(), P(axes), P(axes), P()),
-                out_specs=P(axes),
-                check_vma=False,
-            )(params, rays_o, rays_d, key)
-            rgb, disp = rgb[: H * W], disp[: H * W]
-        else:
-            rgb, disp = _render_rays_flat(params, rays_o, rays_d, key)
+        rays_o, rays_d = gen_rays(c2w)
+        n = rays_o.shape[0]
+        n_pad = (-n) % block
+        if n_pad:
+            rays_o = jnp.concatenate(
+                [rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
+            rays_d = jnp.concatenate(
+                [rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)
+        n_blocks = rays_o.shape[0] // block
+        keys = jax.random.split(key, n_blocks)
+        outs = [render_block(params,
+                             jax.lax.dynamic_slice_in_dim(rays_o, i * block,
+                                                          block, 0),
+                             jax.lax.dynamic_slice_in_dim(rays_d, i * block,
+                                                          block, 0),
+                             keys[i])
+                for i in range(n_blocks)]          # pipelined dispatches
+        rgb = jnp.concatenate([o[0] for o in outs], 0)[:n]
+        disp = jnp.concatenate([o[1] for o in outs], 0)[:n]
         return rgb.reshape(H, W, 3), disp.reshape(H, W)
 
-    jitted = jax.jit(_render)
     if not use_pallas:
-        return jitted
+        return _render
 
     from ..kernels.fused_mlp import pack_nerf_mlp_params
 
@@ -99,6 +120,6 @@ def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
                 jax.tree_util.tree_map(np.asarray, params["fine"]),
                 L_x=cfg.L_x, L_d=cfg.L_d),
         }
-        return jitted(packed, c2w, key)
+        return _render(packed, c2w, key)
 
     return render_with_packing

@@ -139,7 +139,7 @@ def _build_emb(x: jnp.ndarray, L: int, rows: int,
     return emb.astype(dtype)
 
 
-def _mlp_kernel(L_x: int, L_d: int, cdt, xp_ref, dp_ref, *refs):
+def _mlp_kernel(L_x: int, L_d: int, cdt, out_dtype, xp_ref, dp_ref, *refs):
     w = dict(zip(_W_NAMES, refs[:-1]))
     out_ref = refs[-1]
 
@@ -166,21 +166,26 @@ def _mlp_kernel(L_x: int, L_d: int, cdt, xp_ref, dp_ref, *refs):
                      + w["bv"][:]).astype(cdt)
     rgb = dot(w["wcol"], hv) + w["bcol"][:]               # [8, T] rows 0..2
 
-    out_ref[0:3, :] = rgb[0:3, :]
-    out_ref[3:4, :] = sigma[0:1, :]
+    # write the full 8-sublane block in one store (rows: rgb, sigma, pad) —
+    # partial-sublane stores to a 4-row block are a Mosaic edge case
+    out_ref[:] = jnp.concatenate(
+        [rgb[0:3, :], sigma[0:1, :], jnp.zeros_like(rgb[0:4, :])],
+        axis=0).astype(out_dtype)
 
 
 def fused_mlp_eval(xplane: jnp.ndarray, dplane: jnp.ndarray,
                    packed: Dict[str, jnp.ndarray], L_x: int = 10,
                    L_d: int = 4, tile: int = 8192,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False,
+                   out_dtype=jnp.float32) -> jnp.ndarray:
     """Evaluate the fused NeRF MLP.
 
     Args:
       xplane: [3, P] sample positions (feature-major; P % tile == 0).
       dplane: [3, P] unit view directions, one per point.
     Returns:
-      [4, P] float32 raw outputs (rgb logits rows 0..2, sigma row 3).
+      [8, P] float32 raw outputs (rgb logits rows 0..2, sigma row 3,
+      rows 4..7 zero padding for a full sublane block).
     """
     p = xplane.shape[-1]
     assert p % tile == 0, (p, tile)
@@ -200,18 +205,18 @@ def fused_mlp_eval(xplane: jnp.ndarray, dplane: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             *weight_specs,
         ],
-        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
     )
     # interpret mode runs on CPU, whose dot thunk lacks bf16 support
     cdt = jnp.float32 if interpret else jnp.bfloat16
-    kernel = functools.partial(_mlp_kernel, L_x, L_d, cdt)
+    kernel = functools.partial(_mlp_kernel, L_x, L_d, cdt, out_dtype)
     flops_per_pt = 2 * (64 * 256 + 6 * 256 * 256 + (64 + 256) * 256
                         + 8 * 256 + 256 * 256 + (256 + 32) * 128 + 8 * 128)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, p), out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(

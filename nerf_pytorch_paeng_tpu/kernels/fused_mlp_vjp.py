@@ -147,10 +147,10 @@ def _bwd_call(xplane, dplane, g, packed: Dict, L_x: int, L_d: int,
     p = xplane.shape[-1]
     assert p % tile == 0
     n_tiles = p // tile
-    # pad the [4, P] cotangent to [8, P] on the host side of the kernel so
-    # the block keeps a full sublane
-    g8 = jnp.concatenate(
-        [g.astype(jnp.float32), jnp.zeros((4, p), jnp.float32)], 0)
+    # the primal output (and thus the cotangent) is already an
+    # 8-sublane block; rows 4..7 are zero padding
+    assert g.shape[0] == 8, g.shape
+    g8 = g.astype(jnp.float32)
 
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM)

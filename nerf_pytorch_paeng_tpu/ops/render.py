@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from .posenc import positional_encoding
 from .rays import ndc_rays
 from .sampling import sample_pdf, stratified_z_vals
-from .volume import volume_render
+from .volume import volume_render_planar
 
 
 class RaysRender(NamedTuple):
@@ -36,18 +36,21 @@ class RaysRender(NamedTuple):
 
 
 def make_xla_field_fns(model, params, cfg):
-    """Field functions ``(pts [P,3], dirs [P,3]) -> raw [P,4]`` on the XLA
-    path: positional-encode, then the flax MLP in compiled point-chunks."""
+    """Field functions ``(xplane [3,P], dplane [3,P]) -> raw [4,P]`` on the
+    XLA path: positional-encode, then the flax MLP in compiled point-chunks.
+
+    The planar (feature-major) protocol is the kernels' native layout; the
+    XLA path transposes at its boundary (a few ms per 3M points)."""
     from ..models.nerf import NeRF  # local import to avoid a cycle
 
     def build(method):
-        def fn(pts, dirs):
+        def fn(xplane, dplane):
             emb = jnp.concatenate(
-                [positional_encoding(pts, cfg.L_x),
-                 positional_encoding(dirs, cfg.L_d)], axis=-1)
+                [positional_encoding(xplane.T, cfg.L_x),
+                 positional_encoding(dplane.T, cfg.L_d)], axis=-1)
             apply1 = lambda x: model.apply({"params": params}, x,
                                            method=method)
-            return chunked_apply(apply1, emb, cfg.chunk_pts)
+            return chunked_apply(apply1, emb, cfg.chunk_pts).T
         return fn
 
     return build(NeRF.coarse_fwd), build(NeRF.fine_fwd)
@@ -70,24 +73,27 @@ def make_pallas_train_field_fns(params, cfg, tile: int = 1024):
     def build(mlp_params):
         packed = pack_nerf_mlp_params(mlp_params, L_x=cfg.L_x, L_d=cfg.L_d)
 
-        def fn(pts, dirs):
-            p = pts.shape[0]
+        def fn(xplane, dplane):
+            p = xplane.shape[-1]
             pad = (-p) % tile
             if pad:
-                pts = jnp.concatenate(
-                    [pts, jnp.zeros((pad, 3), pts.dtype)], 0)
-                dirs = jnp.concatenate(
-                    [dirs, jnp.ones((pad, 3), dirs.dtype)], 0)
-            out = fused_mlp_train(packed, pts.T, dirs.T,
+                xplane = jnp.concatenate(
+                    [xplane, jnp.zeros((3, pad), xplane.dtype)], 1)
+                dplane = jnp.concatenate(
+                    [dplane, jnp.ones((3, pad), dplane.dtype)], 1)
+            out = fused_mlp_train(packed, xplane, dplane,
                                   L_x=cfg.L_x, L_d=cfg.L_d, tile=tile,
                                   interpret=interpret)
-            return out.T[:p]
+            return out[:4, :p]
         return fn
 
     return build(params["coarse"]), build(params["fine"])
 
 
-def make_pallas_field_fns(packed_coarse, packed_fine, cfg, tile: int = 16384):
+def make_pallas_field_fns(packed_coarse, packed_fine, cfg, tile: int = 8192):
+    # NOTE: tile 16384 is ~10% faster in isolation but its activation
+    # buffers oversubscribe VMEM (2x [256,16384] bf16 alone is 16MB) and
+    # nondeterministically crash the TPU runtime; 8192 is stable.
     """Field functions on the fused Pallas kernel (kernels/fused_mlp.py):
     feature-major planes in, [P,4] raw out.  Eval path only (no VJP)."""
     from ..kernels.fused_mlp import fused_mlp_eval
@@ -95,18 +101,21 @@ def make_pallas_field_fns(packed_coarse, packed_fine, cfg, tile: int = 16384):
     interpret = _pallas_interpret()
 
     def build(packed):
-        def fn(pts, dirs):
-            p = pts.shape[0]
+        def fn(xplane, dplane):
+            p = xplane.shape[-1]
             pad = (-p) % tile
             if pad:
-                pts = jnp.concatenate(
-                    [pts, jnp.zeros((pad, 3), pts.dtype)], 0)
-                dirs = jnp.concatenate(
-                    [dirs, jnp.ones((pad, 3), dirs.dtype)], 0)
-            out = fused_mlp_eval(pts.T, dirs.T, packed,
+                xplane = jnp.concatenate(
+                    [xplane, jnp.zeros((3, pad), xplane.dtype)], 1)
+                dplane = jnp.concatenate(
+                    [dplane, jnp.ones((3, pad), dplane.dtype)], 1)
+            # bf16 raw output halves the [8,P] HBM write; the composite
+            # upcasts to fp32 anyway
+            out = fused_mlp_eval(xplane, dplane, packed,
                                  L_x=cfg.L_x, L_d=cfg.L_d, tile=tile,
-                                 interpret=interpret)
-            return out.T[:p]
+                                 interpret=interpret,
+                                 out_dtype=jnp.bfloat16)
+            return out[:4, :p]
         return fn
 
     return build(packed_coarse), build(packed_fine)
@@ -160,8 +169,10 @@ def render_rays(
     """Render a flat batch of rays through the coarse(+fine) pipeline.
 
     Args:
-      coarse_fn/fine_fn: field functions (pts [P,3], dirs [P,3]) -> [P,4]
-        raw outputs (see make_xla_field_fns / make_pallas_field_fns).
+      coarse_fn/fine_fn: planar field functions (xplane [3,P], dplane
+        [3,P]) -> raw [4,P] (see make_xla_field_fns /
+        make_pallas_field_fns) — feature-major throughout, so the fused
+        kernels' inputs/outputs need no relayout.
       rays_o/rays_d: [N, 3] (already NDC-projected for LLFF).
       stratified: jitter coarse bins (the reference always jitters,
         nerf_process.py:58-60; exposed for deterministic eval).
@@ -169,15 +180,23 @@ def render_rays(
     n_rays = rays_o.shape[0]
     key_c, key_f = jax.random.split(key)
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    o_t = rays_o.T                                       # [3, N]
+    d_t = rays_d.T
+    vd_t = viewdirs.T
+
+    def planes(z):                                       # z: [N, S]
+        s = z.shape[-1]
+        xp = (o_t[:, :, None] + d_t[:, :, None] * z[None]).reshape(3, -1)
+        dp = jnp.broadcast_to(vd_t[:, :, None],
+                              (3, n_rays, s)).reshape(3, -1)
+        return xp, dp
 
     # -- coarse pass ------------------------------------------------------
     z_vals = stratified_z_vals(key_c, n_rays, near, far, n_coarse,
                                perturb=stratified)
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    dirs_c = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
-    raw_c = coarse_fn(pts.reshape(-1, 3), dirs_c.reshape(-1, 3)).reshape(
-        n_rays, n_coarse, 4)
-    out_c = volume_render(raw_c, z_vals, rays_d, scan_impl)
+    xp, dp = planes(z_vals)
+    raw_c = coarse_fn(xp, dp).reshape(4, n_rays, n_coarse)
+    out_c = volume_render_planar(raw_c, z_vals, rays_d, scan_impl)
 
     if n_fine <= 0:
         return RaysRender(out_c.rgb, out_c.disp, None, None, None, None)
@@ -189,11 +208,9 @@ def render_rays(
     z_samples = jax.lax.stop_gradient(z_samples)
     z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
 
-    pts_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
-    dirs_f = jnp.broadcast_to(viewdirs[:, None, :], pts_f.shape)
-    raw_f = fine_fn(pts_f.reshape(-1, 3), dirs_f.reshape(-1, 3)).reshape(
-        n_rays, n_coarse + n_fine, 4)
-    out_f = volume_render(raw_f, z_all, rays_d, scan_impl)
+    xp_f, dp_f = planes(z_all)
+    raw_f = fine_fn(xp_f, dp_f).reshape(4, n_rays, n_coarse + n_fine)
+    out_f = volume_render_planar(raw_f, z_all, rays_d, scan_impl)
 
     return RaysRender(out_c.rgb, out_c.disp, out_f.rgb, out_f.disp,
                       out_f.acc, out_f.depth)

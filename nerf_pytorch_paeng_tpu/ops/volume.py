@@ -46,6 +46,38 @@ def exclusive_cumprod(x: jnp.ndarray, scan_impl: str = "cumprod") -> jnp.ndarray
     return jnp.cumprod(jnp.concatenate([ones, x], -1), -1)[..., :-1]
 
 
+def volume_render_planar(raw: jnp.ndarray, z_vals: jnp.ndarray,
+                         rays_d: jnp.ndarray,
+                         scan_impl: str = "cumprod") -> RenderOutputs:
+    """Same compositing math with channel-planar raw: [4, N, S] (rgb rows
+    0..2, sigma row 3).  This is the zero-relayout consumer of the fused
+    Pallas kernels' [4, P] outputs — a [4,P]→[P,4] transpose costs ~4ms
+    per 3M points on TPU and is pure waste."""
+    raw = raw.astype(jnp.float32)
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], -1)          # [N, S]
+    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+
+    rgb = jax.nn.sigmoid(raw[0:3])                                 # [3, N, S]
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(raw[3]) * dists)            # [N, S]
+
+    transmittance = exclusive_cumprod(1.0 - alpha + 1e-10, scan_impl)
+    weights = alpha * transmittance                                # [N, S]
+
+    rgb_map = jnp.sum(weights[None] * rgb, -1).T                   # [N, 3]
+    depth_map = jnp.sum(weights * z_vals, -1)
+    acc_map = jnp.sum(weights, -1)
+
+    mean_depth = depth_map / jnp.maximum(acc_map, 1e-10)
+    disp_map = 1.0 / jnp.maximum(1e-10, mean_depth)
+    disp_map = jnp.minimum(disp_map, DISP_CLAMP)
+    disp_map = jnp.where(acc_map == 0.0, 0.0, disp_map)
+
+    rgb_map = rgb_map + (1.0 - acc_map[..., None])
+    return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)
+
+
 def volume_render(raw: jnp.ndarray, z_vals: jnp.ndarray, rays_d: jnp.ndarray,
                   scan_impl: str = "cumprod") -> RenderOutputs:
     """Composite raw MLP outputs along each ray.

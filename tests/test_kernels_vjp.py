@@ -33,7 +33,7 @@ def flax_loss(model, mlp_params, pts, dirs, tgt):
 def fused_loss(mlp_params, pts, dirs, tgt, tile):
     packed = pack_nerf_mlp_params(mlp_params)
     raw = fused_mlp_train(packed, pts.T, dirs.T, tile=tile,
-                          interpret=True).T
+                          interpret=True)[:4].T
     return jnp.mean((raw - tgt) ** 2)
 
 
