@@ -128,12 +128,21 @@ _W_NAMES = ("w0", "w1", "w2", "w3", "w4", "w5e", "w5h", "w6", "w7",
 
 def _build_emb(x: jnp.ndarray, L: int, rows: int,
                dtype=jnp.bfloat16) -> jnp.ndarray:
-    """[3, T] coords -> [rows, T] bf16 embedding in kernel layout."""
+    """[3, T] coords -> [rows, T] bf16 embedding in kernel layout.
+
+    sin/cos(2^j x) come from the exact double-angle recurrence
+    (sin 2θ = 2 sinθ cosθ, cos 2θ = 1 - 2 sin²θ): 2 transcendentals per
+    coordinate instead of 2L — the VPU's transcendental unit is ~10x
+    slower than its multiplier, and this feeds bf16 matmuls, so the
+    ~2^j·eps fp32 drift at high frequencies is far below the bf16 noise
+    floor."""
     t = x.shape[-1]
-    # frequencies applied as python-scalar multiplies: constant arrays and
-    # float iota are both rejected inside Mosaic kernels
-    sins = [jnp.sin(x * float(2.0 ** j)) for j in range(L)]   # each [3, T]
-    coss = [jnp.cos(x * float(2.0 ** j)) for j in range(L)]
+    s, c = jnp.sin(x), jnp.cos(x)                             # each [3, T]
+    sins, coss = [s], [c]
+    for _ in range(L - 1):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        sins.append(s)
+        coss.append(c)
     pad = jnp.zeros((rows - 3 - 6 * L, t), jnp.float32)
     emb = jnp.concatenate([x, *sins, *coss, pad], axis=0)
     return emb.astype(dtype)
