@@ -51,9 +51,15 @@ def compute_ssim(pred: jnp.ndarray, gt: jnp.ndarray, size: int = 11,
 
     mu_p, mu_g = filt(pred), filt(gt)
     mu_pp, mu_gg, mu_pg = mu_p * mu_p, mu_g * mu_g, mu_p * mu_g
-    sigma_p = filt(pred * pred) - mu_pp
-    sigma_g = filt(gt * gt) - mu_gg
+    # clamp variances at 0: E[x^2]-E[x]^2 can go slightly negative by fp32
+    # cancellation on near-constant windows, which blows the ratio up
+    # (observed SSIM=24.9 on a white-background view)
+    sigma_p = jnp.maximum(filt(pred * pred) - mu_pp, 0.0)
+    sigma_g = jnp.maximum(filt(gt * gt) - mu_gg, 0.0)
     sigma_pg = filt(pred * gt) - mu_pg
+    # |cov| <= sqrt(var_p * var_g) in exact math; enforce after clamping
+    bound = jnp.sqrt(sigma_p * sigma_g)
+    sigma_pg = jnp.clip(sigma_pg, -bound, bound)
 
     num = (2 * mu_pg + c1) * (2 * sigma_pg + c2)
     den = (mu_pp + mu_gg + c1) * (sigma_p + sigma_g + c2)

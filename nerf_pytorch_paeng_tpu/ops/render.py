@@ -165,6 +165,7 @@ def render_rays(
     stratified: bool = True,
     scan_impl: str = "cumprod",
     chunk_pts: int = 524288,
+    fused_sampling: bool = False,
 ) -> RaysRender:
     """Render a flat batch of rays through the coarse(+fine) pipeline.
 
@@ -202,11 +203,42 @@ def render_rays(
         return RaysRender(out_c.rgb, out_c.disp, None, None, None, None)
 
     # -- fine pass (hierarchical) -----------------------------------------
-    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_samples = sample_pdf(key_f, z_mid, out_c.weights[..., 1:-1], n_fine,
-                           det=(perturb == 0.0))
-    z_samples = jax.lax.stop_gradient(z_samples)
-    z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+    if fused_sampling:
+        # EXPERIMENTAL, default off: inverse-CDF + sorted merge in one VMEM
+        # kernel (kernels/resample.py).  Numerically verified, but the 3D
+        # one-hot scatter forces tiny (8-row) tiles under the VMEM stack
+        # limit and ends up ~2x slower than the XLA sample_pdf + sort at
+        # production sizes — kept for future per-ray-tile fusion work.
+        # Sorted uniforms are distributionally identical to sorting iid
+        # draws.
+        from ..kernels.resample import fused_resample, sorted_uniform
+        if perturb == 0.0:
+            u = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, n_fine, dtype=jnp.float32),
+                (n_rays, n_fine))
+        else:
+            u = sorted_uniform(key_f, (n_rays, n_fine))
+        tile = 8
+        pad = (-n_rays) % tile
+        # detach INPUTS (not just the output): the resample kernel has no
+        # VJP, and the reference detaches the fine z's anyway
+        # (nerf_process.py:66)
+        zv = jax.lax.stop_gradient(z_vals)
+        w = jax.lax.stop_gradient(out_c.weights[..., 1:-1])
+        uu = u
+        if pad:
+            zv = jnp.pad(zv, ((0, pad), (0, 0)), mode="edge")
+            w = jnp.pad(w, ((0, pad), (0, 0)), mode="edge")
+            uu = jnp.pad(uu, ((0, pad), (0, 0)), mode="edge")
+        z_all = fused_resample(zv, w, uu, tile=tile,
+                               interpret=_pallas_interpret())[:n_rays]
+        z_all = jax.lax.stop_gradient(z_all)
+    else:
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(key_f, z_mid, out_c.weights[..., 1:-1],
+                               n_fine, det=(perturb == 0.0))
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
 
     xp_f, dp_f = planes(z_all)
     raw_f = fine_fn(xp_f, dp_f).reshape(4, n_rays, n_coarse + n_fine)

@@ -99,3 +99,17 @@ def test_run_render_gif(tmp_path):
     assert os.path.isfile(os.path.join(d, "_rgb.gif"))
     assert os.path.isfile(os.path.join(d, "_disp.gif"))
     assert os.path.isfile(os.path.join(d, "0_rgb.png"))
+
+
+def test_ssim_bounded_on_near_constant_images():
+    """fp32 variance cancellation must not blow SSIM past 1 (regression:
+    a white-background render scored SSIM=24.9 before clamping)."""
+    rng = np.random.default_rng(4)
+    base = np.ones((64, 64, 3), np.float32)
+    # mostly-constant images with a tiny patch of structure
+    a = base.copy(); a[30:34, 30:34] = rng.uniform(0.98, 1.0, (4, 4, 3))
+    b = base.copy(); b[30:34, 30:34] = rng.uniform(0.98, 1.0, (4, 4, 3))
+    s = float(compute_ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert -1.0 <= s <= 1.0 + 1e-6, s
+    s2 = float(compute_ssim(jnp.asarray(base), jnp.asarray(base)))
+    assert abs(s2 - 1.0) < 1e-6
