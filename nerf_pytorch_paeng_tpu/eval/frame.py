@@ -25,8 +25,9 @@ import numpy as np
 
 from ..models.nerf import NeRF
 from ..ops.rays import get_rays
-from ..ops.render import (make_pallas_field_fns, make_xla_field_fns,
-                          maybe_ndc, render_rays_from_cfg)
+from ..ops.render import (make_pallas_field_fns, make_pallas_sigma_fn,
+                          make_xla_field_fns, maybe_ndc,
+                          render_rays_from_cfg)
 
 
 def _supports_pallas(cfg) -> bool:
@@ -55,9 +56,13 @@ def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
 
     def _field_fns(params):
         if use_pallas:
-            return make_pallas_field_fns(
+            coarse, fine = make_pallas_field_fns(
                 params["packed_coarse"], params["packed_fine"], cfg)
-        return make_xla_field_fns(model, params, cfg)
+            sigma = (make_pallas_sigma_fn(params["packed_coarse"], cfg)
+                     if n_fine > 0 else None)
+            return coarse, fine, sigma
+        coarse, fine = make_xla_field_fns(model, params, cfg)
+        return coarse, fine, None
 
     @jax.jit
     def gen_rays(c2w):
@@ -67,9 +72,10 @@ def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         return maybe_ndc(rays_o, rays_d, H, W, focal, cfg.data_type)
 
     def _block_body(params, rays_o, rays_d, key):
-        coarse, fine = _field_fns(params)
+        coarse, fine, sigma = _field_fns(params)
         out = render_rays_from_cfg(coarse, fine, rays_o, rays_d, key, cfg,
-                                   stratified=stratified)
+                                   stratified=stratified,
+                                   coarse_sigma_fn=sigma)
         rgb = out.rgb_f if n_fine > 0 else out.rgb_c
         disp = out.disp_f if n_fine > 0 else out.disp_c
         return rgb, disp

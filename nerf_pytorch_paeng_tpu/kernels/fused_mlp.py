@@ -234,3 +234,68 @@ def fused_mlp_eval(xplane: jnp.ndarray, dplane: jnp.ndarray,
             transcendentals=(6 * L_x + 6 * L_d) * p // 2),
         interpret=interpret,
     )(xplane, dplane, *[packed[n] for n in _W_NAMES])
+
+
+# --------------------------------------------------------------------------
+# sigma-only variant: trunk + density head, no view branch.  During
+# evaluation with a fine pass, the coarse network only contributes sampling
+# weights (test.py:42-47 uses the fine rgb), so its color computation —
+# feature/view/color matmuls and the direction embedding — is dead work.
+
+_W_NAMES_SIGMA = ("w0", "w1", "w2", "w3", "w4", "w5e", "w5h", "w6", "w7",
+                  "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7",
+                  "wdens", "bdens")
+
+
+def _mlp_sigma_kernel(L_x: int, cdt, out_dtype, xp_ref, *refs):
+    w = dict(zip(_W_NAMES_SIGMA, refs[:-1]))
+    out_ref = refs[-1]
+
+    def dot(a, h):
+        return jax.lax.dot_general(
+            a[:].astype(cdt), h.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    embx = _build_emb(xp_ref[:].astype(jnp.float32), L_x, EMBX_ROWS, cdt)
+    h = jax.nn.relu(dot(w["w0"], embx) + w["b0"][:]).astype(cdt)
+    for i in (1, 2, 3, 4):
+        h = jax.nn.relu(dot(w[f"w{i}"], h) + w[f"b{i}"][:]).astype(cdt)
+    h = jax.nn.relu(dot(w["w5e"], embx) + dot(w["w5h"], h)
+                    + w["b5"][:]).astype(cdt)
+    for i in (6, 7):
+        h = jax.nn.relu(dot(w[f"w{i}"], h) + w[f"b{i}"][:]).astype(cdt)
+    sigma = dot(w["wdens"], h) + w["bdens"][:]            # [8, T] row 0
+    out_ref[:] = sigma.astype(out_dtype)
+
+
+def fused_mlp_sigma(xplane: jnp.ndarray, packed: Dict[str, jnp.ndarray],
+                    L_x: int = 10, tile: int = 8192,
+                    interpret: bool = False,
+                    out_dtype=jnp.float32) -> jnp.ndarray:
+    """Density only: [3, P] positions -> [8, P] (sigma logit in row 0)."""
+    p = xplane.shape[-1]
+    assert p % tile == 0, (p, tile)
+    weight_specs = [
+        pl.BlockSpec(packed[n].shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for n in _W_NAMES_SIGMA
+    ]
+    grid_spec = pl.GridSpec(
+        grid=(p // tile,),
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    cdt = jnp.float32 if interpret else jnp.bfloat16
+    return pl.pallas_call(
+        functools.partial(_mlp_sigma_kernel, L_x, cdt, out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, p), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xplane, *[packed[n] for n in _W_NAMES_SIGMA])

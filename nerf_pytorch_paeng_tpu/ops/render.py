@@ -121,6 +121,26 @@ def make_pallas_field_fns(packed_coarse, packed_fine, cfg, tile: int = 8192):
     return build(packed_coarse), build(packed_fine)
 
 
+def make_pallas_sigma_fn(packed_coarse, cfg, tile: int = 8192):
+    """Density-only coarse field fn ``xplane [3,P] -> sigma [N? no, [8,P]
+    row 0]`` on the trunk+density kernel — used for evaluation where the
+    coarse pass only produces sampling weights."""
+    from ..kernels.fused_mlp import fused_mlp_sigma
+
+    interpret = _pallas_interpret()
+
+    def fn(xplane):
+        p = xplane.shape[-1]
+        pad = (-p) % tile
+        if pad:
+            xplane = jnp.concatenate(
+                [xplane, jnp.zeros((3, pad), xplane.dtype)], 1)
+        out = fused_mlp_sigma(xplane, packed_coarse, L_x=cfg.L_x, tile=tile,
+                              interpret=interpret, out_dtype=jnp.bfloat16)
+        return out[0, :p]
+    return fn
+
+
 def chunked_apply(fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
                   chunk_pts: int) -> jnp.ndarray:
     """Apply the MLP over point-chunks of at most ``chunk_pts`` rows with a
@@ -166,6 +186,7 @@ def render_rays(
     scan_impl: str = "cumprod",
     chunk_pts: int = 524288,
     fused_sampling: bool = False,
+    coarse_sigma_fn=None,
 ) -> RaysRender:
     """Render a flat batch of rays through the coarse(+fine) pipeline.
 
@@ -195,9 +216,20 @@ def render_rays(
     # -- coarse pass ------------------------------------------------------
     z_vals = stratified_z_vals(key_c, n_rays, near, far, n_coarse,
                                perturb=stratified)
-    xp, dp = planes(z_vals)
-    raw_c = coarse_fn(xp, dp).reshape(4, n_rays, n_coarse)
-    out_c = volume_render_planar(raw_c, z_vals, rays_d, scan_impl)
+    if coarse_sigma_fn is not None and n_fine > 0:
+        # eval-only: density suffices for the sampling weights; the coarse
+        # rgb/disp are never shown when a fine pass exists
+        s = z_vals.shape[-1]
+        xp = (o_t[:, :, None] + d_t[:, :, None] * z_vals[None]).reshape(3, -1)
+        from .volume import weights_from_sigma
+        sigma_c = coarse_sigma_fn(xp).reshape(n_rays, n_coarse)
+        weights_c = weights_from_sigma(sigma_c, z_vals, rays_d, scan_impl)
+        out_c = None
+    else:
+        xp, dp = planes(z_vals)
+        raw_c = coarse_fn(xp, dp).reshape(4, n_rays, n_coarse)
+        out_c = volume_render_planar(raw_c, z_vals, rays_d, scan_impl)
+        weights_c = out_c.weights
 
     if n_fine <= 0:
         return RaysRender(out_c.rgb, out_c.disp, None, None, None, None)
@@ -224,7 +256,7 @@ def render_rays(
         # VJP, and the reference detaches the fine z's anyway
         # (nerf_process.py:66)
         zv = jax.lax.stop_gradient(z_vals)
-        w = jax.lax.stop_gradient(out_c.weights[..., 1:-1])
+        w = jax.lax.stop_gradient(weights_c[..., 1:-1])
         uu = u
         if pad:
             zv = jnp.pad(zv, ((0, pad), (0, 0)), mode="edge")
@@ -235,7 +267,7 @@ def render_rays(
         z_all = jax.lax.stop_gradient(z_all)
     else:
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = sample_pdf(key_f, z_mid, out_c.weights[..., 1:-1],
+        z_samples = sample_pdf(key_f, z_mid, weights_c[..., 1:-1],
                                n_fine, det=(perturb == 0.0))
         z_samples = jax.lax.stop_gradient(z_samples)
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
@@ -244,19 +276,23 @@ def render_rays(
     raw_f = fine_fn(xp_f, dp_f).reshape(4, n_rays, n_coarse + n_fine)
     out_f = volume_render_planar(raw_f, z_all, rays_d, scan_impl)
 
-    return RaysRender(out_c.rgb, out_c.disp, out_f.rgb, out_f.disp,
+    rgb_c = out_c.rgb if out_c is not None else None
+    disp_c = out_c.disp if out_c is not None else None
+    return RaysRender(rgb_c, disp_c, out_f.rgb, out_f.disp,
                       out_f.acc, out_f.depth)
 
 
 def render_rays_from_cfg(coarse_fn, fine_fn, rays_o, rays_d, key, cfg,
-                         stratified: bool = True) -> RaysRender:
+                         stratified: bool = True,
+                         coarse_sigma_fn=None) -> RaysRender:
     """render_rays with static args pulled from a NerfConfig."""
     return render_rays(
         coarse_fn, fine_fn, rays_o, rays_d, key,
         near=float(cfg.near), far=float(cfg.far),
         n_coarse=cfg.N_samples_c, n_fine=cfg.N_samples_f,
         L_x=cfg.L_x, L_d=cfg.L_d, perturb=float(cfg.perturb),
-        stratified=stratified, chunk_pts=cfg.chunk_pts)
+        stratified=stratified, chunk_pts=cfg.chunk_pts,
+        coarse_sigma_fn=coarse_sigma_fn)
 
 
 def maybe_ndc(rays_o, rays_d, H, W, focal, data_type: str):

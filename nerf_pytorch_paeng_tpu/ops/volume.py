@@ -46,6 +46,23 @@ def exclusive_cumprod(x: jnp.ndarray, scan_impl: str = "cumprod") -> jnp.ndarray
     return jnp.cumprod(jnp.concatenate([ones, x], -1), -1)[..., :-1]
 
 
+def weights_from_sigma(sigma: jnp.ndarray, z_vals: jnp.ndarray,
+                       rays_d: jnp.ndarray,
+                       scan_impl: str = "cumprod") -> jnp.ndarray:
+    """Compositing weights from density logits alone: [N, S] -> [N, S].
+
+    Used by the sigma-only coarse pass during evaluation, where only the
+    hierarchical-sampling weights matter (the fine rgb is what gets shown,
+    reference test.py:42-47)."""
+    sigma = sigma.astype(jnp.float32)
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], -1)
+    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+    return alpha * exclusive_cumprod(1.0 - alpha + 1e-10, scan_impl)
+
+
 def volume_render_planar(raw: jnp.ndarray, z_vals: jnp.ndarray,
                          rays_d: jnp.ndarray,
                          scan_impl: str = "cumprod") -> RenderOutputs:
