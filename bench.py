@@ -91,14 +91,17 @@ def bench_render(H: int = 800, W: int = 800, block: int = 16384,
 def main():
     dev = jax.devices()[0]
     rays_per_sec, sec_per_step = bench_train()
-    render_sec = bench_render()
+    try:
+        render_sec = round(bench_render(), 3)
+    except Exception as e:  # never lose the train number to a render fault
+        render_sec = f"failed: {type(e).__name__}"
     result = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
         "sec_per_train_step_4096rays": round(sec_per_step, 5),
-        "render_800x800_sec": round(render_sec, 3),
+        "render_800x800_sec": render_sec,
         "device": str(dev),
     }
     print(json.dumps(result))
