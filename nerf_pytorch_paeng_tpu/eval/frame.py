@@ -75,7 +75,8 @@ def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         coarse, fine, sigma = _field_fns(params)
         out = render_rays_from_cfg(coarse, fine, rays_o, rays_d, key, cfg,
                                    stratified=stratified,
-                                   coarse_sigma_fn=sigma)
+                                   coarse_sigma_fn=sigma,
+                                   cull_frac=float(cfg.cull_frac))
         rgb = out.rgb_f if n_fine > 0 else out.rgb_c
         disp = out.disp_f if n_fine > 0 else out.disp_c
         return rgb, disp

@@ -187,6 +187,7 @@ def render_rays(
     chunk_pts: int = 524288,
     fused_sampling: bool = False,
     coarse_sigma_fn=None,
+    cull_frac: float = 0.0,
 ) -> RaysRender:
     """Render a flat batch of rays through the coarse(+fine) pipeline.
 
@@ -216,6 +217,12 @@ def render_rays(
     # -- coarse pass ------------------------------------------------------
     z_vals = stratified_z_vals(key_c, n_rays, near, far, n_coarse,
                                perturb=stratified)
+    if cull_frac > 0.0 and n_fine > 0:
+        # opt-in acceleration (eval only): full coarse pass, then only the
+        # top-k rays by coarse occupancy run the fine network; culled rays
+        # (mostly empty background) keep their coarse result. Lossy in
+        # general — see NerfConfig.cull_frac.
+        coarse_sigma_fn = None  # need coarse rgb for the culled rays
     if coarse_sigma_fn is not None and n_fine > 0:
         # eval-only: density suffices for the sampling weights; the coarse
         # rgb/disp are never shown when a fine pass exists
@@ -235,6 +242,38 @@ def render_rays(
         return RaysRender(out_c.rgb, out_c.disp, None, None, None, None)
 
     # -- fine pass (hierarchical) -----------------------------------------
+    def fine_pass(o_s, d_s, vd_s, z_s, w_s, key_s):
+        """The hierarchical pass on an arbitrary subset of rays.
+        o_s/d_s/vd_s: [M,3]; z_s: [M,Sc]; w_s: [M,Sc]."""
+        m = o_s.shape[0]
+        z_mid = 0.5 * (z_s[..., 1:] + z_s[..., :-1])
+        z_samples = sample_pdf(key_s, z_mid, w_s[..., 1:-1], n_fine,
+                               det=(perturb == 0.0))
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_all = jnp.sort(jnp.concatenate([z_s, z_samples], -1), -1)
+        s = z_all.shape[-1]
+        xp = (o_s.T[:, :, None] + d_s.T[:, :, None]
+              * z_all[None]).reshape(3, -1)
+        dp = jnp.broadcast_to(vd_s.T[:, :, None], (3, m, s)).reshape(3, -1)
+        raw = fine_fn(xp, dp).reshape(4, m, s)
+        return volume_render_planar(raw, z_all, d_s, scan_impl)
+
+    if cull_frac > 0.0:
+        # top-k rays by coarse occupancy get the fine pass; the rest keep
+        # their coarse result (mostly empty background on trained scenes)
+        k = n_rays - int(n_rays * cull_frac)
+        k = min(n_rays, max(128, -(-k // 128) * 128))
+        acc_c = jnp.sum(weights_c, -1)
+        _, idx = jax.lax.top_k(acc_c, k)
+        out_f = fine_pass(rays_o[idx], rays_d[idx], viewdirs[idx],
+                          z_vals[idx], weights_c[idx], key_f)
+        rgb_f = out_c.rgb.at[idx].set(out_f.rgb)
+        disp_f = out_c.disp.at[idx].set(out_f.disp)
+        acc_f = out_c.acc.at[idx].set(out_f.acc)
+        depth_f = out_c.depth.at[idx].set(out_f.depth)
+        return RaysRender(out_c.rgb, out_c.disp, rgb_f, disp_f,
+                          acc_f, depth_f)
+
     if fused_sampling:
         # EXPERIMENTAL, default off: inverse-CDF + sorted merge in one VMEM
         # kernel (kernels/resample.py).  Numerically verified, but the 3D
@@ -284,7 +323,8 @@ def render_rays(
 
 def render_rays_from_cfg(coarse_fn, fine_fn, rays_o, rays_d, key, cfg,
                          stratified: bool = True,
-                         coarse_sigma_fn=None) -> RaysRender:
+                         coarse_sigma_fn=None,
+                         cull_frac: float = 0.0) -> RaysRender:
     """render_rays with static args pulled from a NerfConfig."""
     return render_rays(
         coarse_fn, fine_fn, rays_o, rays_d, key,
@@ -292,7 +332,7 @@ def render_rays_from_cfg(coarse_fn, fine_fn, rays_o, rays_d, key, cfg,
         n_coarse=cfg.N_samples_c, n_fine=cfg.N_samples_f,
         L_x=cfg.L_x, L_d=cfg.L_d, perturb=float(cfg.perturb),
         stratified=stratified, chunk_pts=cfg.chunk_pts,
-        coarse_sigma_fn=coarse_sigma_fn)
+        coarse_sigma_fn=coarse_sigma_fn, cull_frac=cull_frac)
 
 
 def maybe_ndc(rays_o, rays_d, H, W, focal, data_type: str):

@@ -90,3 +90,29 @@ def test_fine_sampling_concentrates_where_density_is():
         near=2.0, far=6.0, n_coarse=8, n_fine=16, L_x=4, L_d=2,
         perturb=0.0, stratified=False)
     assert out.rgb_f.shape == (4, 3)
+
+
+def test_cull_frac_matches_full_render_on_sparse_scene():
+    """With culling on, rays that keep the fine pass match the exact
+    render; culled (empty) rays keep their coarse result."""
+    import dataclasses
+
+    from nerf_pytorch_paeng_tpu.ops.render import render_rays
+
+    cfg = small_cfg(perturb=0.0)
+    coarse, fine = make_fns(cfg)
+    o, d = rand_rays(256)
+    kw = dict(near=2.0, far=6.0, n_coarse=8, n_fine=16, L_x=4, L_d=2,
+              perturb=0.0, stratified=False)
+    full = render_rays(coarse, fine, o, d, jax.random.PRNGKey(0), **kw)
+    culled = render_rays(coarse, fine, o, d, jax.random.PRNGKey(0),
+                         cull_frac=0.5, **kw)
+    assert culled.rgb_f.shape == (256, 3)
+    # exactly half the rays (top occupancy) must match the full fine render
+    diff = np.abs(np.asarray(culled.rgb_f) - np.asarray(full.rgb_f)).max(-1)
+    n_exact = (diff < 1e-5).sum()
+    assert n_exact >= 128, n_exact
+    # culled rays must equal the coarse result
+    coarse_match = np.abs(np.asarray(culled.rgb_f)
+                          - np.asarray(full.rgb_c)).max(-1)
+    assert ((diff < 1e-5) | (coarse_match < 1e-5)).all()
