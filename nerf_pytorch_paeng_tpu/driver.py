@@ -120,6 +120,9 @@ def main_worker(cfg: NerfConfig) -> None:
             model, tx, cfg, mesh, H, W, float(K[0][0]))
     else:
         print(">> per-image sampling mode")
+        if cfg.world_size > 1:
+            print(">> NOTE: per-image sampling trains on one device; use "
+                  "global_batch for multi-chip data parallelism")
         ray_pool = None
         step_fn = make_image_train_step(model, tx, cfg, H, W, K)
         images_dev = jnp.asarray(images)

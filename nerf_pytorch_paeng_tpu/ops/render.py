@@ -304,16 +304,11 @@ def render_rays(
         z_all = fused_resample(zv, w, uu, tile=tile,
                                interpret=_pallas_interpret())[:n_rays]
         z_all = jax.lax.stop_gradient(z_all)
+        xp_f, dp_f = planes(z_all)
+        raw_f = fine_fn(xp_f, dp_f).reshape(4, n_rays, n_coarse + n_fine)
+        out_f = volume_render_planar(raw_f, z_all, rays_d, scan_impl)
     else:
-        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = sample_pdf(key_f, z_mid, weights_c[..., 1:-1],
-                               n_fine, det=(perturb == 0.0))
-        z_samples = jax.lax.stop_gradient(z_samples)
-        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
-
-    xp_f, dp_f = planes(z_all)
-    raw_f = fine_fn(xp_f, dp_f).reshape(4, n_rays, n_coarse + n_fine)
-    out_f = volume_render_planar(raw_f, z_all, rays_d, scan_impl)
+        out_f = fine_pass(rays_o, rays_d, viewdirs, z_vals, weights_c, key_f)
 
     rgb_c = out_c.rgb if out_c is not None else None
     disp_c = out_c.disp if out_c is not None else None

@@ -45,11 +45,8 @@ def cosine_annealing_warmup_restarts(
         sic = step - cycle_start
         cycle_len = fcs * cm ** n
 
-    peak = min_lr + (max_lr - min_lr) * gamma ** cycle if gamma != 1.0 else max_lr
-    # NOTE the reference decays `max_lr` by gamma but keeps base at min_lr
-    # (scheduler.py:92); for gamma=1 (the only mode the driver uses) the two
-    # formulations coincide.
-    peak = jnp.asarray(peak, jnp.float32)
+    # the reference decays the peak directly: max_lr·γ^cycle (scheduler.py:92)
+    peak = jnp.asarray(max_lr * gamma ** cycle, jnp.float32)
 
     warm = min_lr + (peak - min_lr) * sic / max(warmup_steps, 1)
     cos = min_lr + (peak - min_lr) * (

@@ -277,3 +277,25 @@ def test_full_render_rays_parity():
                                want["rgb_f"].numpy(), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(ours.disp_f),
                                want["disp_f"].numpy(), rtol=5e-3, atol=5e-3)
+
+
+def test_lr_schedule_parity_with_restarts():
+    """Cycle restarts with period growth and peak decay vs the reference
+    class (epoch-given closed form, scheduler.py:75-92)."""
+    from scheduler import CosineAnnealingWarmupRestarts
+
+    from nerf_pytorch_paeng_tpu.train.schedule import (
+        cosine_annealing_warmup_restarts)
+
+    dummy = torch.nn.Linear(2, 2)
+    opt = torch.optim.Adam(dummy.parameters(), lr=1e-3)
+    sched = CosineAnnealingWarmupRestarts(
+        opt, first_cycle_steps=100, cycle_mult=2.0, max_lr=1e-3,
+        min_lr=1e-5, warmup_steps=10, gamma=0.5)
+    for step in [0, 5, 50, 99, 100, 150, 299, 300, 500, 699]:
+        sched.step(step)               # closed-form epoch-given path
+        ref_lr = opt.param_groups[0]["lr"]
+        ours = float(cosine_annealing_warmup_restarts(
+            step, 100, 10, 1e-3, 1e-5, cycle_mult=2.0, gamma=0.5))
+        np.testing.assert_allclose(ours, ref_lr, rtol=1e-4,
+                                   err_msg=f"step={step}")
