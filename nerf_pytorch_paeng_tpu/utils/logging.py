@@ -63,14 +63,28 @@ class MetricLogger:
 
     def _reopen_csv(self, vals: Dict[str, float]) -> None:
         self._fields = sorted(set(vals) | set(self._fields or ()))
-        exists = os.path.isfile(self.csv_path)
+        fieldnames = ["step"] + self._fields
         if self._csv_file:
             self._csv_file.close()
-        self._csv_file = open(self.csv_path, "a", newline="")
-        self._csv_writer = csv.DictWriter(
-            self._csv_file, fieldnames=["step"] + self._fields,
-            restval="", extrasaction="ignore")
-        if not exists:
+        if os.path.isfile(self.csv_path):
+            # schema grew mid-run: rewrite existing rows under the new
+            # header so columns stay aligned
+            with open(self.csv_path, newline="") as f:
+                rows = list(csv.DictReader(f))
+            with open(self.csv_path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=fieldnames, restval="",
+                                   extrasaction="ignore")
+                w.writeheader()
+                w.writerows(rows)
+            self._csv_file = open(self.csv_path, "a", newline="")
+            self._csv_writer = csv.DictWriter(
+                self._csv_file, fieldnames=fieldnames, restval="",
+                extrasaction="ignore")
+        else:
+            self._csv_file = open(self.csv_path, "w", newline="")
+            self._csv_writer = csv.DictWriter(
+                self._csv_file, fieldnames=fieldnames, restval="",
+                extrasaction="ignore")
             self._csv_writer.writeheader()
 
     def close(self) -> None:
