@@ -354,6 +354,11 @@ def render_frame(
     Pads the ray count to a multiple of ``block_rays`` and sweeps blocks
     with ``jax.lax.map`` (a compiled loop, not a host loop).  Use inside a
     jit; rays for a full 800×800 frame stay on device end-to-end.
+
+    WARNING: with the Pallas field functions on real TPU hardware, prefer
+    eval/frame.make_frame_renderer — embedding two pallas_calls in a
+    lax.map body trips a TPU runtime fault (see CLAUDE.md); this helper is
+    safe with the XLA field functions and in interpret mode.
     """
     n = rays_o.shape[0]
     block = block_rays or cfg.chunk_rays
