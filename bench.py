@@ -13,9 +13,10 @@ Baseline: the reference repo publishes no throughput numbers (SURVEY §6);
 a PyTorch NeRF at this exact workload runs ~3.3 it/s on an RTX 3090
 (~13.5k rays/s), which we use as the vs_baseline denominator.
 
-Methodology: n_inner train steps run inside one lax.scan program so
-dispatch/tunnel latency doesn't pollute the measurement; timed over
-several repetitions after a warmup run.
+Methodology: a pipelined host loop of jitted steps (async dispatch — the
+host never blocks between launches) with one hard device->host sync per
+repetition, timed over several repetitions after a warmup/compile run.
+Dispatch latency overlaps execution, so this measures device throughput.
 """
 from __future__ import annotations
 

@@ -111,6 +111,8 @@ class NerfConfig:
     idx_save: int = 100000
     idx_test: int = 200000
     idx_render: int = 200000
+    # gates the ray-augmented extrinsics plot at iter 1 (0 disables); the
+    # reference parses this knob but never consumes it (config.py:103)
     idx_vis_cam_param: int = 1000
 
     # ====== TPU-native additions (no reference equivalent) ======

@@ -178,10 +178,17 @@ def main_worker(cfg: NerfConfig) -> None:
                        mesh=mesh)
 
         if i == 1:  # one-time extrinsics plot (reference train.py:117-119)
-            visualize_extrinsics(
-                extrinsics, os.path.join(cfg.logdir, cfg.exp_name,
-                                         "_ext_vis"),
-                idx_list=i_train, name="train_cameras")
+            vis_dir = os.path.join(cfg.logdir, cfg.exp_name, "_ext_vis")
+            visualize_extrinsics(extrinsics, vis_dir, idx_list=i_train,
+                                 name="train_cameras")
+            # ray-augmented `_R_t` variant (reference visualize.py:113-136);
+            # idx_vis_cam_param gates it (the reference parses this knob but
+            # never consumes it, config.py:103 — here 0 disables the plot)
+            if cfg.idx_vis_cam_param > 0:
+                visualize_extrinsics(
+                    extrinsics, vis_dir, idx_list=i_train,
+                    name="train_cameras_rays", K=np.asarray(K), hw=(H, W),
+                    near=float(cfg.near), far=float(cfg.far))
 
     logger.close()
     print(">> training done")

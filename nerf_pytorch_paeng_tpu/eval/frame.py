@@ -31,9 +31,11 @@ from ..ops.render import (make_pallas_field_fns, make_pallas_sigma_fn,
 
 
 def _supports_pallas(cfg) -> bool:
-    """The fused kernel implements exactly the reference architecture."""
+    """The fused kernel implements exactly the reference architecture.
+    L >= 1 because the kernels always emit one sin/cos band (so L=0
+    configs fall back to the XLA path, which handles them)."""
     return (cfg.use_pallas and cfg.netDepth == 8 and cfg.netWidth == 256
-            and cfg.L_x <= 10 and cfg.L_d <= 4)
+            and 1 <= cfg.L_x <= 10 and 1 <= cfg.L_d <= 4)
 
 
 def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,

@@ -74,11 +74,43 @@ _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+_LPIPS_KEYS = ({f"conv{i}_w" for i in range(13)}
+               | {f"conv{i}_b" for i in range(13)}
+               | {f"lin{i}_w" for i in range(5)})
+
+
 def load_lpips_params(path: str) -> Optional[Dict[str, np.ndarray]]:
-    """Load VGG16 + LPIPS-linear weights from an .npz (see tools/)."""
-    if not path or not os.path.isfile(path):
+    """Load VGG16 + LPIPS-linear weights from an .npz (see tools/).
+
+    Empty ``path`` gates the metric off (reported as nan).  A *set* path
+    that is missing or malformed raises — a configured LPIPS must never
+    silently degrade to nan.  If a ``<path>.sha256`` sidecar exists (the
+    export tool writes one), the file hash is verified against it.
+    """
+    if not path:
         return None
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"cfg.lpips_weights={path!r} does not exist. Generate it once "
+            "offline with tools/export_lpips_weights.py (needs torchvision "
+            "+ lpips) and copy it here.")
+    sidecar = path + ".sha256"
+    if os.path.isfile(sidecar):
+        import hashlib
+        want = open(sidecar).read().split()[0].strip()
+        with open(path, "rb") as fp:
+            got = hashlib.sha256(fp.read()).hexdigest()
+        if got != want:
+            raise ValueError(
+                f"{path} sha256 mismatch: got {got}, expected {want} "
+                f"(from {sidecar}) — the weights file is corrupt or stale.")
     data = dict(np.load(path))
+    missing = _LPIPS_KEYS - set(data)
+    if missing:
+        raise ValueError(
+            f"{path} is not a valid LPIPS weights file: missing "
+            f"{sorted(missing)[:4]}... (re-export with "
+            "tools/export_lpips_weights.py)")
     return data
 
 

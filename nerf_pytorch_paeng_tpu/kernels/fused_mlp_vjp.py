@@ -191,7 +191,10 @@ def _make_fused_train(L_x: int, L_d: int, tile: int, interpret: bool):
         packed, xplane, dplane = res
         dpacked = _bwd_call(xplane, dplane, gout, packed, L_x, L_d, tile,
                             interpret)
-        # grads must match primal dtypes (packed weights are bf16)
+        # Packed weights (and hence grads) are fp32 end-to-end
+        # (pack_nerf_mlp_params stores fp32, fused_mlp.py); the astype is a
+        # no-op today, kept only so a future packed dtype keeps grads
+        # matching the primals as custom_vjp requires.
         dpacked = {n: dpacked[n].astype(packed[n].dtype) for n in _W_NAMES}
         return dpacked, jnp.zeros_like(xplane), jnp.zeros_like(dplane)
 

@@ -46,8 +46,16 @@ class ShardedDense(nn.Module):
     def __call__(self, x):
         kernel = self.param("kernel", nn.initializers.xavier_uniform(),
                             (x.shape[-1], self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros_init(),
-                          (self.features,), jnp.float32)
+        # Bias init matches the reference: torch nn.Linear's default
+        # uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)) is kept for biases since
+        # NeRF._init_weights only re-initialises weights
+        # (reference model/NeRF.py:63-65).
+        bound = 1.0 / float(x.shape[-1]) ** 0.5
+        bias = self.param(
+            "bias",
+            lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype, -bound, bound),
+            (self.features,))
         y = jax.lax.dot_general(
             x.astype(self.compute_dtype), kernel.astype(self.compute_dtype),
             (((x.ndim - 1,), (0,)), ((), ())),

@@ -85,6 +85,7 @@ def make_pallas_train_field_fns(params, cfg, tile: int = 1024):
                                   L_x=cfg.L_x, L_d=cfg.L_d, tile=tile,
                                   interpret=interpret)
             return out[:4, :p]
+        fn._is_pallas = True
         return fn
 
     return build(params["coarse"]), build(params["fine"])
@@ -116,6 +117,7 @@ def make_pallas_field_fns(packed_coarse, packed_fine, cfg, tile: int = 8192):
                                  interpret=interpret,
                                  out_dtype=jnp.bfloat16)
             return out[:4, :p]
+        fn._is_pallas = True
         return fn
 
     return build(packed_coarse), build(packed_fine)
@@ -358,8 +360,16 @@ def render_frame(
     WARNING: with the Pallas field functions on real TPU hardware, prefer
     eval/frame.make_frame_renderer — embedding two pallas_calls in a
     lax.map body trips a TPU runtime fault (see CLAUDE.md); this helper is
-    safe with the XLA field functions and in interpret mode.
+    safe with the XLA field functions and in interpret mode.  The hazard
+    is enforced: Pallas field fns on a real TPU backend raise here.
     """
+    if jax.default_backend() == "tpu" and (
+            getattr(coarse_fn, "_is_pallas", False)
+            or getattr(fine_fn, "_is_pallas", False)):
+        raise RuntimeError(
+            "render_frame with Pallas field functions on a real TPU trips a "
+            "runtime fault (two pallas_calls inside a lax.map body — see "
+            "CLAUDE.md). Use eval/frame.make_frame_renderer instead.")
     n = rays_o.shape[0]
     block = block_rays or cfg.chunk_rays
     n_pad = (-n) % block

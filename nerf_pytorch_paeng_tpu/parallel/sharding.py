@@ -31,36 +31,40 @@ def param_partition_specs(params: Any, n_model: int = 1) -> Any:
     """PartitionSpec pytree for the NeRF params, keyed by path.
 
     With n_model == 1 everything is replicated (pure DP).  Otherwise trunk
-    kernels alternate (None, 'model') / ('model', None); the wide heads
-    shard their width-sized axis.
+    kernels alternate (None, 'model') / ('model', None) Megatron-style and
+    the wide heads shard their width-sized axis — except where a dim isn't
+    divisible by ``n_model`` (e.g. the post-skip trunk layer's input is
+    width + in_ch_x = 319 on the reference architecture), where the spec
+    falls back column-parallel or replicated.  Biases mirror their kernel's
+    output-dim sharding.
     """
     if n_model <= 1:
         return jax.tree_util.tree_map(lambda _: P(), params)
 
-    def spec_for(path: str, x) -> P:
-        if x.ndim == 1:  # bias: shard iff its layer's output dim is sharded
-            if re.search(r"trunk_(\d+)", path):
-                i = int(re.search(r"trunk_(\d+)", path).group(1))
-                return P(MODEL_AXIS) if i % 2 == 0 else P()
-            if "view" in path:
-                return P(MODEL_AXIS)
-            return P()
-        # kernels [in, out]
-        if re.search(r"trunk_(\d+)", path):
-            i = int(re.search(r"trunk_(\d+)", path).group(1))
-            return P(None, MODEL_AXIS) if i % 2 == 0 else P(MODEL_AXIS, None)
-        if "feature" in path or "density" in path:
-            return P(MODEL_AXIS, None)   # row-parallel head off the trunk
+    def kernel_spec(path: str, shape) -> P:
+        d_in, d_out = int(shape[0]), int(shape[1])
+        col = P(None, MODEL_AXIS) if d_out % n_model == 0 else P()
+        row = P(MODEL_AXIS, None) if d_in % n_model == 0 else col
+        m = re.search(r"trunk_(\d+)", path)
+        if m:
+            return col if int(m.group(1)) % 2 == 0 else row
+        if "feature" in path or "density" in path or "color" in path:
+            return row                   # row-parallel heads off the trunk
         if "view" in path:
-            return P(None, MODEL_AXIS)   # column-parallel view branch
-        if "color" in path:
-            return P(MODEL_AXIS, None)
+            return col                   # column-parallel view branch
         return P()
 
     def walk(tree, prefix=""):
+        if isinstance(tree, dict) and "kernel" in tree:
+            ks = kernel_spec(prefix, tree["kernel"].shape)
+            out = {"kernel": ks}
+            if "bias" in tree:  # bias shards iff the output dim does
+                out["bias"] = P(MODEL_AXIS) if ks == P(None, MODEL_AXIS) \
+                    else P()
+            return out
         if isinstance(tree, dict):
             return {k: walk(v, f"{prefix}/{k}") for k, v in tree.items()}
-        return spec_for(prefix, tree)
+        return P()
 
     return walk(params)
 
@@ -135,7 +139,11 @@ def make_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
         step = make_train_step(model, tx, cfg, H, W, focal,
                                axis_name=DATA_AXIS)
         return make_shardmap_train_step(step, mesh)
-    step = make_train_step(model, tx, cfg, H, W, focal)
+    # GSPMD path: pallas_call cannot be partitioned by GSPMD, so on a
+    # >1-device mesh (TP, or mixed shapes) the field functions must be the
+    # XLA ones even when the fused kernels would apply on one device.
+    force_xla = _supports_pallas_train(cfg) and n_model * n_data > 1
+    step = make_train_step(model, tx, cfg, H, W, focal, force_xla=force_xla)
     return make_sharded_train_step(step, mesh)
 
 

@@ -53,10 +53,19 @@ def restore_checkpoint(logdir: str, exp_name: str, step: int,
 
 
 def restore_params_only(logdir: str, exp_name: str, step: int,
-                        params_template: Any):
-    """For standalone test/render (reference test.py:20-21,128-130)."""
+                        params_template: Any = None):
+    """For standalone test/render (reference test.py:20-21,128-130).
+
+    When ``params_template`` carries shardings (e.g. TP over a mesh), the
+    restored arrays are device_put back onto them so a sharded eval after
+    resume sees the same layout as a fresh start."""
     path = ckpt_dir(logdir, exp_name, step)
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path)  # raw numpy tree
-    del params_template  # structure taken from disk; kept for API symmetry
-    return restored["params"]
+    params = restored["params"]
+    if params_template is not None:
+        params = jax.tree_util.tree_map(
+            lambda t, x: jax.device_put(x, t.sharding)
+            if hasattr(t, "sharding") else x,
+            params_template, params)
+    return params

@@ -35,13 +35,16 @@ def mse2psnr(mse):
 
 
 def _supports_pallas_train(cfg) -> bool:
+    # L >= 1: the fused kernels always emit at least one sin/cos band
+    # (kernels/fused_mlp._build_emb), so L=0 configs must take the XLA path.
     return (cfg.use_pallas and cfg.netDepth == 8 and cfg.netWidth == 256
-            and cfg.L_x <= 10 and cfg.L_d <= 4)
+            and 1 <= cfg.L_x <= 10 and 1 <= cfg.L_d <= 4)
 
 
-def _loss_and_metrics(model, params, rays_o, rays_d, target, key, cfg):
+def _loss_and_metrics(model, params, rays_o, rays_d, target, key, cfg,
+                      force_xla: bool = False):
     from ..ops.render import make_pallas_train_field_fns, make_xla_field_fns
-    if _supports_pallas_train(cfg):
+    if _supports_pallas_train(cfg) and not force_xla:
         coarse, fine = make_pallas_train_field_fns(params, cfg)
     else:
         coarse, fine = make_xla_field_fns(model, params, cfg)
@@ -61,7 +64,7 @@ def _loss_and_metrics(model, params, rays_o, rays_d, target, key, cfg):
 
 def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
                     H: int = 0, W: int = 0, focal: float = 0.0,
-                    axis_name: str = None
+                    axis_name: str = None, force_xla: bool = False
                     ) -> Callable[..., Tuple[TrainState, Dict[str, Any]]]:
     """Global-batch train step: (state, rays_o, rays_d, target, key).
 
@@ -73,6 +76,10 @@ def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
     decorrelated per shard and gradients/metrics are pmean'd over the axis
     (the explicit-collective DP path used with the Pallas kernels, which
     cannot live under GSPMD auto-sharding).
+
+    ``force_xla`` pins the field functions to the XLA path even when the
+    fused Pallas kernels would apply — required under GSPMD on a >1-device
+    mesh, where pallas_call cannot be partitioned.
     """
 
     def train_step(state: TrainState, rays_o, rays_d, target, key):
@@ -83,7 +90,7 @@ def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
 
         def loss_fn(params):
             return _loss_and_metrics(model, params, rays_o, rays_d,
-                                     target, key, cfg)
+                                     target, key, cfg, force_xla=force_xla)
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

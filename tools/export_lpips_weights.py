@@ -17,10 +17,22 @@ Layout produced (consumed by nerf_pytorch_paeng_tpu/eval/metrics.py):
   conv{i}_b : [out]
   lin{i}_w  : [C_i] per-channel LPIPS linear weights, i = 0..4 taps
               (relu1_2 / relu2_2 / relu3_3 / relu4_3 / relu5_3)
+
+A ``<out>.sha256`` sidecar is written next to the .npz; the loader
+(eval/metrics.load_lpips_params) verifies it, so copy BOTH files.  The
+one-time offline step on a machine with internet access:
+
+    pip install torchvision lpips
+    python tools/export_lpips_weights.py --out lpips_vgg16.npz
+    scp lpips_vgg16.npz lpips_vgg16.npz.sha256 <target>:
+
+The LPIPS *graph* itself is golden-tested with random weights
+(tests/test_eval.py) so the math is trusted independently of this asset.
 """
 from __future__ import annotations
 
 import argparse
+import hashlib
 
 import numpy as np
 
@@ -49,7 +61,11 @@ def main(out_path: str) -> None:
         arrays[f"lin{i}_w"] = w.reshape(-1).astype(np.float32)
 
     np.savez(out_path, **arrays)
-    print(f"wrote {out_path}: {len(arrays)} arrays")
+    with open(out_path, "rb") as fp:
+        digest = hashlib.sha256(fp.read()).hexdigest()
+    with open(out_path + ".sha256", "w") as fp:
+        fp.write(f"{digest}  {out_path}\n")
+    print(f"wrote {out_path}: {len(arrays)} arrays (sha256 {digest[:16]}…)")
 
 
 if __name__ == "__main__":
