@@ -6,8 +6,11 @@ Prints ONE JSON line:
 
 Headline metric: training rays/sec/chip at the reference workload
 (4096 rays/step, 64 coarse + 128 fine samples, the 8x256 coarse+fine
-model — reference configs/blender/lego.txt).  Extras report the 800x800
-frame render seconds and per-step wall time.
+model — reference configs/blender/lego.txt).  Extras report 800x800 frame
+render seconds — on a model *trained* on the synthetic blob scene, so the
+occupancy-culled path (the production eval default) does content-
+dependent work — plus the exact dense-render time, MFU estimates, and a
+lax.scan-fused train variant.
 
 Baseline: the reference repo publishes no throughput numbers (SURVEY §6);
 a PyTorch NeRF at this exact workload runs ~3.3 it/s on an RTX 3090
@@ -17,9 +20,12 @@ Methodology: a pipelined host loop of jitted steps (async dispatch — the
 host never blocks between launches) with one hard device->host sync per
 repetition, timed over several repetitions after a warmup/compile run.
 Dispatch latency overlaps execution, so this measures device throughput.
+The scanned variant runs n_inner steps inside one lax.scan program
+(train/step.make_scanned_train_step) — zero dispatches between updates.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -28,14 +34,26 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 13_500.0  # RTX 3090 estimate (see module docstring)
+V5E_PEAK_BF16 = 197e12            # TPU v5e peak bf16 FLOP/s (public spec)
+
+# fused-MLP FLOPs per point (see kernels/fused_mlp.py cost estimate)
+FLOPS_PER_PT_FULL = 2 * (64 * 256 + 6 * 256 * 256 + (64 + 256) * 256
+                         + 8 * 256 + 256 * 256 + (256 + 32) * 128 + 8 * 128)
+FLOPS_PER_PT_SIGMA = 2 * (64 * 256 + 6 * 256 * 256 + (64 + 256) * 256
+                          + 8 * 256)
+
+
+def _sync(x):
+    """Hard device->host sync — on the remote TPU backend
+    ``block_until_ready`` returns before execution finishes, so only a
+    value transfer gives a true wall time."""
+    return float(jnp.asarray(x).ravel()[0])
 
 
 def bench_train(n_steps: int = 15, reps: int = 3, use_pallas: bool = True):
-    """Pipelined steps with a hard host sync per rep — on the remote TPU
-    backend ``block_until_ready`` returns before execution finishes, so
-    only a device->host value transfer gives a true wall time."""
     from nerf_pytorch_paeng_tpu.config import NerfConfig
     from nerf_pytorch_paeng_tpu.train import (create_train_state,
+                                              make_scanned_train_step,
                                               make_train_step)
 
     # defaults == reference lego workload (4096 rays, 64+128, 8x256)
@@ -50,59 +68,119 @@ def bench_train(n_steps: int = 15, reps: int = 3, use_pallas: bool = True):
     rgb = jnp.asarray(rng.uniform(size=sh), jnp.float32)
     key = jax.random.PRNGKey(1)
 
+    state0 = state
     state, m = step(state, o, d, rgb, key)   # warmup/compile
-    float(m["loss"])                          # hard sync
+    _sync(m["loss"])
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, m = step(state, o, d, rgb, key)
-        float(m["loss"])                      # hard sync
+        _sync(m["loss"])
         times.append(time.perf_counter() - t0)
     sec_per_step = min(times) / n_steps
-    return cfg.N_rays / sec_per_step, sec_per_step
+
+    # scanned variant: n_steps updates inside ONE lax.scan program
+    scanned = jax.jit(make_scanned_train_step(model, tx, cfg,
+                                              n_inner=n_steps))
+    stack = lambda x: jnp.broadcast_to(x, (n_steps, *x.shape))
+    o_s, d_s, r_s = stack(o), stack(d), stack(rgb)
+    st, ms = scanned(state0, o_s, d_s, r_s, key)
+    _sync(ms["loss"])
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        st, ms = scanned(st, o_s, d_s, r_s, key)
+        _sync(ms["loss"])
+        times.append(time.perf_counter() - t0)
+    sec_per_step_scanned = min(times) / n_steps
+
+    # fwd + recompute + backward ~= 4x forward FLOPs (residual-free
+    # custom-VJP backward recomputes activations; kernels/fused_mlp_vjp.py)
+    pts = cfg.N_rays * (cfg.N_samples_c + cfg.N_samples_c + cfg.N_samples_f)
+    mfu = 4 * pts * FLOPS_PER_PT_FULL / sec_per_step / V5E_PEAK_BF16
+    return cfg.N_rays / sec_per_step, sec_per_step, sec_per_step_scanned, mfu
+
+
+def _train_blob_model(cfg, n_steps: int = 300):
+    """A trained full-size model with genuine empty space, so the render
+    benchmark exercises content-dependent paths (occupancy culling).
+
+    Field distillation rather than quick photometric training: short
+    white-background photometric runs learn 'white fog' (acc≈1 everywhere,
+    the classic background ambiguity) and nothing would cull; real
+    200k-iter multi-view runs do carve out empty space, which distillation
+    reproduces directly (utils/synth.fit_field_to_blob)."""
+    from nerf_pytorch_paeng_tpu.models import init_nerf
+    from nerf_pytorch_paeng_tpu.utils.synth import (fit_field_to_blob,
+                                                    make_synth_scene)
+
+    _, _, poses = make_synth_scene(n_views=1, H=8, W=8)
+    model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
+    params, fit_loss = fit_field_to_blob(
+        model, params0, jax.random.PRNGKey(1), n_steps=n_steps,
+        n_pts=8192, L_x=cfg.L_x, L_d=cfg.L_d)
+    return model, params, poses, fit_loss
 
 
 def bench_render(H: int = 800, W: int = 800, block: int = 16384,
                  reps: int = 3, use_pallas: bool = True):
     from nerf_pytorch_paeng_tpu.config import NerfConfig
     from nerf_pytorch_paeng_tpu.eval.frame import make_frame_renderer
-    from nerf_pytorch_paeng_tpu.models import init_nerf
 
     cfg = NerfConfig(near=2.0, far=6.0, chunk_rays=block,
                      use_pallas=use_pallas)
-    model, params = init_nerf(cfg, jax.random.PRNGKey(0))
-    K = np.array([[0.7 * W, 0, W / 2], [0, 0.7 * W, H / 2], [0, 0, 1]])
-    render = make_frame_renderer(model, cfg, H, W, K, block_rays=block)
-    c2w = jnp.asarray(
-        np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.0]]), jnp.float32)
+    model, params, poses, fit_loss = _train_blob_model(cfg)
+    focal = 0.9 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
+    c2w = jnp.asarray(poses[0][:3, :4])
 
-    rgb, disp = render(params, c2w, jax.random.PRNGKey(1))
-    float(rgb[0, 0, 0])                       # hard sync (see bench_train)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        rgb, disp = render(params, c2w, jax.random.PRNGKey(2))
-        float(rgb[0, 0, 0])
-        times.append(time.perf_counter() - t0)
-    return min(times)
+    def time_renderer(rc):
+        r = make_frame_renderer(model, dataclasses.replace(cfg, render_cull=rc),
+                                H, W, K, block_rays=block)
+        rgb, disp = r(params, c2w, jax.random.PRNGKey(1))
+        _sync(rgb)
+        times = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            rgb, disp = r(params, c2w, jax.random.PRNGKey(2 + i))
+            _sync(rgb)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_auto = time_renderer("auto")
+    t_exact = time_renderer("none")
+    flops_exact = H * W * (cfg.N_samples_c * FLOPS_PER_PT_SIGMA
+                           + (cfg.N_samples_c + cfg.N_samples_f)
+                           * FLOPS_PER_PT_FULL)
+    mfu_exact = flops_exact / t_exact / V5E_PEAK_BF16
+    return t_auto, t_exact, mfu_exact, fit_loss
 
 
 def main():
     dev = jax.devices()[0]
-    rays_per_sec, sec_per_step = bench_train()
+    rays_per_sec, sec_per_step, sec_scanned, train_mfu = bench_train()
+    extras = {}
     try:
-        render_sec = round(bench_render(), 3)
+        t_auto, t_exact, mfu_exact, fit_loss = bench_render()
+        extras = {
+            "render_800x800_sec": round(t_auto, 3),
+            "render_800x800_sec_exact": round(t_exact, 3),
+            "render_mfu_exact_est": round(mfu_exact, 3),
+            "render_model_fit_loss": round(fit_loss, 4),
+        }
     except Exception as e:  # never lose the train number to a render fault
-        render_sec = f"failed: {type(e).__name__}"
+        extras = {"render_800x800_sec": f"failed: {type(e).__name__}"}
     result = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
         "sec_per_train_step_4096rays": round(sec_per_step, 5),
-        "render_800x800_sec": render_sec,
+        "sec_per_train_step_scanned": round(sec_scanned, 5),
+        "train_mfu_est": round(train_mfu, 3),
+        **extras,
         "device": str(dev),
     }
     print(json.dumps(result))

@@ -23,11 +23,10 @@ from .config import NerfConfig
 from .data import load_blender, load_custom, load_llff
 from .eval.render import run_render
 from .eval.test import run_test
-from .parallel import (batch_sharding, make_mesh, make_train_step_for_mesh,
-                       shard_params)
+from .parallel import (batch_sharding, make_image_train_step_for_mesh,
+                       make_mesh, make_train_step_for_mesh, shard_params)
 from .parallel.mesh import maybe_initialize_distributed
-from .train import (RayPool, build_ray_pool, create_train_state,
-                    make_image_train_step)
+from .train import RayPool, build_ray_pool, create_train_state
 from .train.checkpoint import (restore_checkpoint, restore_params_only,
                                save_checkpoint)
 from .utils.logging import MetricLogger
@@ -119,12 +118,10 @@ def main_worker(cfg: NerfConfig) -> None:
         step_fn = make_train_step_for_mesh(
             model, tx, cfg, mesh, H, W, float(K[0][0]))
     else:
-        print(">> per-image sampling mode")
-        if cfg.world_size > 1:
-            print(">> NOTE: per-image sampling trains on one device; use "
-                  "global_batch for multi-chip data parallelism")
+        print(">> per-image sampling mode (sharded over the mesh)")
         ray_pool = None
-        step_fn = make_image_train_step(model, tx, cfg, H, W, K)
+        step_fn = make_image_train_step_for_mesh(model, tx, cfg, mesh,
+                                                 H, W, K)
         images_dev = jnp.asarray(images)
         poses_dev = jnp.asarray(extrinsics)[:, :3, :4]
 

@@ -26,13 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def sorted_uniform(key: jax.Array, shape) -> jnp.ndarray:
-    """Sorted-uniform order statistics via normalised exponential spacings:
-    u_k = (E_1+..+E_k) / (E_1+..+E_{n+1}), E ~ Exp(1)."""
-    n = shape[-1]
-    e = jax.random.exponential(key, (*shape[:-1], n + 1), jnp.float32)
-    s = jnp.cumsum(e, -1)
-    return s[..., :-1] / s[..., -1:]
+from ..ops.sampling import sorted_uniform  # noqa: F401  (canonical home)
 
 
 def _resample_kernel(n_fine: int, z_ref, w_ref, u_ref, tri_ref, out_ref):

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from .posenc import positional_encoding
 from .rays import ndc_rays
-from .sampling import sample_pdf, stratified_z_vals
+from .sampling import (merge_sorted, sample_pdf_from_u, sorted_uniform,
+                       stratified_z_vals)
 from .volume import volume_render_planar
 
 
@@ -143,6 +144,44 @@ def make_pallas_sigma_fn(packed_coarse, cfg, tile: int = 8192):
     return fn
 
 
+def hierarchical_fine_pass(fine_fn, rays_o, rays_d, z_vals, weights, key, *,
+                           n_fine: int, perturb: float = 1.0,
+                           scan_impl: str = "cumprod"):
+    """The hierarchical (fine) pass on an arbitrary set of rays, given the
+    coarse sampling stats: inverse-CDF resample, merge, fine MLP, composite.
+
+    Reference nerf_process.py:200-213.  Standalone so the occupancy-culled
+    frame renderer (eval/frame.py) can run it on a compacted ray subset.
+
+    The fine u's are drawn *sorted* (order statistics — the same
+    distribution as sorting iid uniforms), so the monotone inverse CDF
+    yields sorted fine depths and the coarse+fine merge (the reference's
+    full sort, nerf_process.py:67) becomes a linear counting merge.
+
+    Args:
+      rays_o/rays_d: [M, 3]; z_vals: [M, Sc] coarse depths (sorted);
+      weights: [M, Sc] coarse compositing weights.
+    Returns a volume.RenderOutputs over the merged Sc+n_fine samples.
+    """
+    m = rays_o.shape[0]
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    if perturb == 0.0:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, n_fine, dtype=jnp.float32), (m, n_fine))
+    else:
+        u = sorted_uniform(key, (m, n_fine))
+    z_samples = sample_pdf_from_u(z_mid, weights[..., 1:-1], u)
+    z_samples = jax.lax.stop_gradient(z_samples)
+    z_all = merge_sorted(z_vals, z_samples)
+    s = z_all.shape[-1]
+    xp = (rays_o.T[:, :, None] + rays_d.T[:, :, None]
+          * z_all[None]).reshape(3, -1)
+    dp = jnp.broadcast_to(viewdirs.T[:, :, None], (3, m, s)).reshape(3, -1)
+    raw = fine_fn(xp, dp).reshape(4, m, s)
+    return volume_render_planar(raw, z_all, rays_d, scan_impl)
+
+
 def chunked_apply(fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
                   chunk_pts: int) -> jnp.ndarray:
     """Apply the MLP over point-chunks of at most ``chunk_pts`` rows with a
@@ -189,7 +228,6 @@ def render_rays(
     chunk_pts: int = 524288,
     fused_sampling: bool = False,
     coarse_sigma_fn=None,
-    cull_frac: float = 0.0,
 ) -> RaysRender:
     """Render a flat batch of rays through the coarse(+fine) pipeline.
 
@@ -219,12 +257,6 @@ def render_rays(
     # -- coarse pass ------------------------------------------------------
     z_vals = stratified_z_vals(key_c, n_rays, near, far, n_coarse,
                                perturb=stratified)
-    if cull_frac > 0.0 and n_fine > 0:
-        # opt-in acceleration (eval only): full coarse pass, then only the
-        # top-k rays by coarse occupancy run the fine network; culled rays
-        # (mostly empty background) keep their coarse result. Lossy in
-        # general — see NerfConfig.cull_frac.
-        coarse_sigma_fn = None  # need coarse rgb for the culled rays
     if coarse_sigma_fn is not None and n_fine > 0:
         # eval-only: density suffices for the sampling weights; the coarse
         # rgb/disp are never shown when a fine pass exists
@@ -244,37 +276,10 @@ def render_rays(
         return RaysRender(out_c.rgb, out_c.disp, None, None, None, None)
 
     # -- fine pass (hierarchical) -----------------------------------------
-    def fine_pass(o_s, d_s, vd_s, z_s, w_s, key_s):
-        """The hierarchical pass on an arbitrary subset of rays.
-        o_s/d_s/vd_s: [M,3]; z_s: [M,Sc]; w_s: [M,Sc]."""
-        m = o_s.shape[0]
-        z_mid = 0.5 * (z_s[..., 1:] + z_s[..., :-1])
-        z_samples = sample_pdf(key_s, z_mid, w_s[..., 1:-1], n_fine,
-                               det=(perturb == 0.0))
-        z_samples = jax.lax.stop_gradient(z_samples)
-        z_all = jnp.sort(jnp.concatenate([z_s, z_samples], -1), -1)
-        s = z_all.shape[-1]
-        xp = (o_s.T[:, :, None] + d_s.T[:, :, None]
-              * z_all[None]).reshape(3, -1)
-        dp = jnp.broadcast_to(vd_s.T[:, :, None], (3, m, s)).reshape(3, -1)
-        raw = fine_fn(xp, dp).reshape(4, m, s)
-        return volume_render_planar(raw, z_all, d_s, scan_impl)
-
-    if cull_frac > 0.0:
-        # top-k rays by coarse occupancy get the fine pass; the rest keep
-        # their coarse result (mostly empty background on trained scenes)
-        k = n_rays - int(n_rays * cull_frac)
-        k = min(n_rays, max(128, -(-k // 128) * 128))
-        acc_c = jnp.sum(weights_c, -1)
-        _, idx = jax.lax.top_k(acc_c, k)
-        out_f = fine_pass(rays_o[idx], rays_d[idx], viewdirs[idx],
-                          z_vals[idx], weights_c[idx], key_f)
-        rgb_f = out_c.rgb.at[idx].set(out_f.rgb)
-        disp_f = out_c.disp.at[idx].set(out_f.disp)
-        acc_f = out_c.acc.at[idx].set(out_f.acc)
-        depth_f = out_c.depth.at[idx].set(out_f.depth)
-        return RaysRender(out_c.rgb, out_c.disp, rgb_f, disp_f,
-                          acc_f, depth_f)
+    def fine_pass(o_s, d_s, z_s, w_s, key_s):
+        return hierarchical_fine_pass(
+            fine_fn, o_s, d_s, z_s, w_s, key_s,
+            n_fine=n_fine, perturb=perturb, scan_impl=scan_impl)
 
     if fused_sampling:
         # EXPERIMENTAL, default off: inverse-CDF + sorted merge in one VMEM
@@ -284,7 +289,7 @@ def render_rays(
         # production sizes — kept for future per-ray-tile fusion work.
         # Sorted uniforms are distributionally identical to sorting iid
         # draws.
-        from ..kernels.resample import fused_resample, sorted_uniform
+        from ..kernels.resample import fused_resample
         if perturb == 0.0:
             u = jnp.broadcast_to(
                 jnp.linspace(0.0, 1.0, n_fine, dtype=jnp.float32),
@@ -310,7 +315,7 @@ def render_rays(
         raw_f = fine_fn(xp_f, dp_f).reshape(4, n_rays, n_coarse + n_fine)
         out_f = volume_render_planar(raw_f, z_all, rays_d, scan_impl)
     else:
-        out_f = fine_pass(rays_o, rays_d, viewdirs, z_vals, weights_c, key_f)
+        out_f = fine_pass(rays_o, rays_d, z_vals, weights_c, key_f)
 
     rgb_c = out_c.rgb if out_c is not None else None
     disp_c = out_c.disp if out_c is not None else None
@@ -320,8 +325,7 @@ def render_rays(
 
 def render_rays_from_cfg(coarse_fn, fine_fn, rays_o, rays_d, key, cfg,
                          stratified: bool = True,
-                         coarse_sigma_fn=None,
-                         cull_frac: float = 0.0) -> RaysRender:
+                         coarse_sigma_fn=None) -> RaysRender:
     """render_rays with static args pulled from a NerfConfig."""
     return render_rays(
         coarse_fn, fine_fn, rays_o, rays_d, key,
@@ -329,7 +333,7 @@ def render_rays_from_cfg(coarse_fn, fine_fn, rays_o, rays_d, key, cfg,
         n_coarse=cfg.N_samples_c, n_fine=cfg.N_samples_f,
         L_x=cfg.L_x, L_d=cfg.L_d, perturb=float(cfg.perturb),
         stratified=stratified, chunk_pts=cfg.chunk_pts,
-        coarse_sigma_fn=coarse_sigma_fn, cull_frac=cull_frac)
+        coarse_sigma_fn=coarse_sigma_fn)
 
 
 def maybe_ndc(rays_o, rays_d, H, W, focal, data_type: str):

@@ -38,7 +38,9 @@ def exclusive_cumprod(x: jnp.ndarray, scan_impl: str = "cumprod") -> jnp.ndarray
     """Exclusive product along the last axis: out[i] = prod(x[:i]), out[0]=1."""
     if scan_impl == "associative":
         # log-space associative scan: shards cleanly over the sample axis.
-        logs = jnp.log(x)
+        # Clamp before the log: callers pass x = 1 - alpha + 1e-10, which
+        # XLA may reassociate into exactly 0 at alpha == 1 (log(0) = -inf).
+        logs = jnp.log(jnp.maximum(x, 1e-10))
         inc = jax.lax.associative_scan(jnp.add, logs, axis=-1)
         exc = inc - logs
         return jnp.exp(exc)

@@ -10,6 +10,15 @@ Strategy (TPU-native; the reference is single-GPU with no equivalent):
   (Megatron-style), annotated purely by parameter path — the model code
   stays mesh-agnostic.  At width 256 this is a capability (and a dryrun
   requirement), not a win; it becomes one at netWidth ≳ 2048.
+- **Sample-axis sharding** (the sequence/context-parallel analog, SURVEY
+  §5): the per-ray sample axis splits over a mesh axis with the
+  transmittance computed as a distributed log-space prefix sum — see
+  parallel/sp.py (ppermute for the neighbor bin edge, all_gather for the
+  cross-shard prefix, psum for the weighted reductions).  Demonstrated and
+  equality-tested on an 8-device mesh (tests/test_sample_sharding.py); at
+  the reference's 64-192 samples it is a capability, not a win — it
+  becomes one when a ray's sample axis outgrows a chip (thousands of
+  samples).
 - Pipeline/expert parallelism are structurally inapplicable (a 2-module
   MLP, no MoE) — documented here per SURVEY §2's absence table.
 
@@ -145,6 +154,61 @@ def make_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
     force_xla = _supports_pallas_train(cfg) and n_model * n_data > 1
     step = make_train_step(model, tx, cfg, H, W, focal, force_xla=force_xla)
     return make_sharded_train_step(step, mesh)
+
+
+def make_image_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
+                                   H: int, W: int, K):
+    """Per-image training mode distributed over the mesh.
+
+    The reference's per-image path (train.py:35-45 + rays.py:37) is
+    single-GPU; the blender flagship configs (global_batch_false) run it,
+    so it must shard for the v5e-8 speedup to apply to them.  Semantics
+    match the single-device step: the image/pose broadcast to every shard,
+    all shards draw the SAME global pixel set (same key), each keeps its
+    N_rays/n_shards slice, and grads/metrics pmean over the data axis —
+    the gradient equals the single-device gradient over that pixel set
+    (render jitter is drawn per shard, decorrelated via axis_index).
+
+    Path choice mirrors make_train_step_for_mesh: shard_map with explicit
+    collectives when the fused Pallas kernels apply (GSPMD cannot slice
+    pallas_call); otherwise GSPMD with a sharding constraint on the
+    gathered pixel batch.
+    """
+    import functools
+
+    from ..train.step import _supports_pallas_train, make_image_train_step
+
+    shape = dict(mesh.shape)
+    n_model = shape.get(MODEL_AXIS, 1)
+    n_devices = n_model * shape.get(DATA_AXIS, 1)
+    if n_devices == 1:
+        return make_image_train_step(model, tx, cfg, H, W, K)
+    assert cfg.N_rays % n_devices == 0, (cfg.N_rays, n_devices)
+
+    if _supports_pallas_train(cfg) and n_model == 1:
+        axis_step = make_image_train_step(model, tx, cfg, H, W, K,
+                                          axis_name=DATA_AXIS, jit=False)
+        variants = {}
+        for precrop in (False, True):
+            body = functools.partial(axis_step, precrop=precrop)
+            sm = jax.shard_map(body, mesh=mesh,
+                               in_specs=(P(), P(), P(), P()),
+                               out_specs=(P(), P()), check_vma=False)
+            # no donation: mirrors make_image_train_step (params are ~2.4MB;
+            # callers may hold the previous state, e.g. for eval hooks)
+            variants[precrop] = jax.jit(sm)
+
+        def step(state, image, pose, key, precrop: bool = False):
+            return variants[bool(precrop)](state, image, pose, key)
+
+        return step
+
+    # GSPMD: slice the gathered pixel batch over the data axis; force the
+    # XLA field functions (pallas_call cannot be partitioned by GSPMD)
+    bc = NamedSharding(mesh, P(DATA_AXIS))
+    return make_image_train_step(model, tx, cfg, H, W, K,
+                                 force_xla=_supports_pallas_train(cfg),
+                                 batch_constraint=bc)
 
 
 def make_sharded_render(render_fn, mesh: Mesh):

@@ -130,11 +130,26 @@ def make_scanned_train_step(model: NeRF, tx: optax.GradientTransformation,
 
 
 def make_image_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
-                          H: int, W: int, K):
+                          H: int, W: int, K, axis_name: str = None,
+                          force_xla: bool = False, batch_constraint=None,
+                          jit: bool = True):
     """Per-image train step: generates the image's rays and samples N_rays
     pixels *inside* the program (reference recomputes rays on host per step,
     train.py:43 / rays.py:20).  `precrop` is a static arg — the loop
     compiles two variants.
+
+    Distribution modes (reference train.py:35-45 is single-GPU; here the
+    blender flagship configs shard over the mesh):
+    - ``axis_name``: shard_map-ready — image/pose arrive replicated, the
+      *same* global pixel set is drawn on every shard (same key), each
+      shard keeps its N_rays/axis_size slice, renders with a decorrelated
+      jitter key, and pmeans grads/metrics: the gradient equals the
+      single-device gradient over the same pixel set.  This is the path
+      that supports the fused Pallas kernels.
+    - ``batch_constraint``: GSPMD — the gathered per-pixel batch gets a
+      with_sharding_constraint so GSPMD slices the render over the mesh
+      (pair with ``force_xla`` on >1-device meshes; pallas_call cannot be
+      partitioned by GSPMD).
     """
     import jax.numpy as jnp
 
@@ -142,7 +157,6 @@ def make_image_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
     K = jnp.asarray(K, jnp.float32)
     focal = float(K[0, 0])
 
-    @functools.partial(jax.jit, static_argnames=("precrop",))
     def train_step(state: TrainState, image, pose, key,
                    precrop: bool = False):
         key = jax.random.fold_in(key, state.step)
@@ -150,17 +164,32 @@ def make_image_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
         rays_o, rays_d = get_rays(H, W, K, pose)
         coords = sample_pixels(key_px, H, W, cfg.N_rays,
                                precrop=precrop, precrop_frac=cfg.precrop_frac)
+        if axis_name is not None:
+            size = jax.lax.axis_size(axis_name)
+            rank = jax.lax.axis_index(axis_name)
+            per = cfg.N_rays // size
+            coords = jax.lax.dynamic_slice_in_dim(coords, rank * per, per, 0)
+            key_render = jax.random.fold_in(key_render, rank)
         ro, rd, target = gather_rays(rays_o, rays_d, image, coords)
         ro, rd = maybe_ndc(ro, rd, H, W, focal, cfg.data_type)
+        if batch_constraint is not None:
+            ro = jax.lax.with_sharding_constraint(ro, batch_constraint)
+            rd = jax.lax.with_sharding_constraint(rd, batch_constraint)
+            target = jax.lax.with_sharding_constraint(target, batch_constraint)
 
         def loss_fn(params):
             return _loss_and_metrics(model, params, ro, rd, target,
-                                     key_render, cfg)
+                                     key_render, cfg, force_xla=force_xla)
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), metrics
 
+    if jit:
+        return jax.jit(train_step, static_argnames=("precrop",))
     return train_step

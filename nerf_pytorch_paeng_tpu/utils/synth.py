@@ -31,8 +31,18 @@ def orbit_pose(theta: float, phi: float, radius: float) -> np.ndarray:
     return c2w.astype(np.float32)
 
 
-def _density(pts: np.ndarray, amp: float = 8.0, r: float = 0.6) -> np.ndarray:
-    return amp * np.exp(-np.sum(pts ** 2, -1) / (2 * r * r))
+def _density(pts: np.ndarray, amp: float = 8.0, r: float = 0.6,
+             cutoff: float = 1.8) -> np.ndarray:
+    """Compactly-supported Gaussian blob (continuous at the cutoff).
+
+    Truncation matters: with the renderer's 1e10 last-sample distance (the
+    NeRF convention, nerf_process.py:95), ANY nonzero tail density makes
+    every ray fully opaque at the far plane (alpha_last = 1-exp(-σ·1e10) = 1
+    even for σ=1e-9) — the scene would have no empty space at all and its
+    'background' would be a ghost far-surface of tail colors."""
+    d2 = np.sum(pts ** 2, -1) / (2 * r * r)
+    floor = np.exp(-(cutoff * cutoff) / (2 * r * r))
+    return amp * np.maximum(np.exp(-d2) - floor, 0.0)
 
 
 def _color(pts: np.ndarray) -> np.ndarray:
@@ -80,6 +90,110 @@ def make_synth_scene(n_views: int = 8, H: int = 32, W: int = 32,
     poses = np.stack([orbit_pose(t, 0.35, radius) for t in thetas])
     imgs = np.stack([render_gt(H, W, K, p, near, far) for p in poses])
     return imgs, K, poses
+
+
+def fit_field_to_blob(model, params, key, n_steps: int = 400,
+                      n_pts: int = 8192, lr: float = 2e-3,
+                      L_x: int = 10, L_d: int = 4):
+    """Distill the analytic blob field directly into both MLPs.
+
+    Photometric training on the white-background blob is ambiguous at small
+    scale — "white fog everywhere" (acc≈1) reproduces the white background
+    exactly, so quick-trained models never develop empty space (real
+    multi-view 200k-iter runs do carve it out).  For tests/benchmarks that
+    need a *trained model with genuine empties* (occupancy culling), we
+    instead regress each MLP's raw outputs to the analytic field at points
+    sampled along orbit-camera rays (exactly where rendering will look):
+    the raw density logit to sigma where occupied and below a -0.2 hinge
+    margin where empty (see sigma_loss), the raw color logits to
+    logit(color).  Returns (fitted params, final loss).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models.nerf import NeRF
+    from ..ops.posenc import positional_encoding
+
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+    near, far, radius, phi, focal_frac = 2.0, 6.0, 4.0, 0.35, 0.9
+
+    def field_gt(pts):
+        # same truncated blob as _density (see its docstring re: 1e10 tails)
+        d2 = jnp.sum(pts ** 2, -1) / (2 * 0.6 * 0.6)
+        floor = jnp.exp(-jnp.asarray((1.8 * 1.8) / (2 * 0.6 * 0.6)))
+        sig = 8.0 * jnp.maximum(jnp.exp(-d2) - floor, 0.0)
+        col = 0.5 + 0.4 * jnp.stack(
+            [jnp.sin(2.0 * pts[..., 0]), jnp.sin(2.0 * pts[..., 1]),
+             jnp.sin(2.0 * pts[..., 2])], -1)
+        raw_col = jnp.log(col) - jnp.log1p(-col)          # logit
+        return sig, raw_col
+
+    def sigma_loss(raw, sig_gt):
+        """MSE where occupied; a hinge (raw <= -margin) where empty.  The
+        hinge makes relu(raw) *exactly* 0 in empty space despite fit error
+        — essential because the 1e10 last-sample distance turns any eps>0
+        density at the far plane into full opacity (real photometric
+        training co-adapts sigma and color there; distillation must instead
+        guarantee hard zeros)."""
+        occ = sig_gt > 0
+        return jnp.mean(jnp.where(occ, (raw - sig_gt) ** 2,
+                                  jax.nn.relu(raw + 0.2) ** 2))
+
+    def orbit_ray_points(key):
+        """Sample training points exactly where rendering will look: along
+        rays of random orbit cameras (same orbit as make_synth_scene)."""
+        kt, ku, kv, kz = jax.random.split(key, 4)
+        theta = jax.random.uniform(kt, (n_pts,), jnp.float32, 0, 2 * jnp.pi)
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        sp, cp = jnp.sin(phi), jnp.cos(phi)
+        center = radius * jnp.stack([ct * cp, st * cp,
+                                     jnp.full_like(ct, sp)], -1)   # [P, 3]
+        z = center / jnp.linalg.norm(center, axis=-1, keepdims=True)
+        up = jnp.array([0.0, 0.0, 1.0])
+        x = jnp.cross(jnp.broadcast_to(up, z.shape), z)
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+        y = jnp.cross(z, x)
+        # pixel dirs across the full frustum (focal = focal_frac * W)
+        u = jax.random.uniform(ku, (n_pts,), jnp.float32, -0.5, 0.5)
+        v = jax.random.uniform(kv, (n_pts,), jnp.float32, -0.5, 0.5)
+        d = (x * (u / focal_frac)[:, None] + y * (-v / focal_frac)[:, None]
+             - z)
+        t = jax.random.uniform(kz, (n_pts,), jnp.float32, near, far)
+        pts = center + t[:, None] * d
+        dirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return pts, dirs
+
+    def step(carry, i):
+        params, opt = carry
+        pts, dirs = orbit_ray_points(jax.random.fold_in(key, i))
+        sig_gt, raw_col = field_gt(pts)
+        emb = jnp.concatenate([positional_encoding(pts, L_x),
+                               positional_encoding(dirs, L_d)], -1)
+
+        def loss_fn(p):
+            tot = 0.0
+            for method in (NeRF.coarse_fwd, NeRF.fine_fwd):
+                raw = model.apply({"params": p}, emb, method=method)
+                tot = (tot + sigma_loss(raw[:, 3], sig_gt)
+                       + jnp.mean((raw[:, :3] - raw_col) ** 2))
+            return tot
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, updates), opt), loss
+
+    # one compiled program for the whole fit: per-step host dispatch costs
+    # ~ms-to-seconds through the remote-TPU tunnel, a scan costs nothing
+    @jax.jit
+    def run(params, opt):
+        (params, _), losses = jax.lax.scan(step, (params, opt),
+                                           jnp.arange(n_steps))
+        return params, losses[-1]
+
+    params, loss = run(params, opt)
+    return params, float(loss)
 
 
 def save_as_blender_dataset(root: str, n_train: int = 4, n_val: int = 1,

@@ -1,0 +1,98 @@
+"""Per-image training mode over the mesh (the blender flagship configs run
+global_batch_false, so this path must shard — reference train.py:35-45 is
+single-GPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_pytorch_paeng_tpu.config import NerfConfig
+from nerf_pytorch_paeng_tpu.parallel import (make_image_train_step_for_mesh,
+                                             make_mesh)
+from nerf_pytorch_paeng_tpu.train import (create_train_state,
+                                          make_image_train_step)
+from nerf_pytorch_paeng_tpu.utils.synth import make_synth_scene
+
+
+def _xla_cfg(**kw):
+    base = dict(netDepth=4, netWidth=64, L_x=6, L_d=2, N_rays=64,
+                N_samples_c=8, N_samples_f=8, near=2.0, far=6.0,
+                iter_N=100, iter_warmup=5, compute_dtype="float32",
+                precrop_iters=2, precrop_frac=0.5)
+    base.update(kw)
+    return NerfConfig(**base)
+
+
+def test_per_image_gspmd_matches_single_device():
+    """The GSPMD per-image step (sharding constraint on the gathered pixel
+    batch) computes the same program as the single-device step — loss and
+    updated params must match."""
+    cfg = _xla_cfg()
+    imgs, K, poses = make_synth_scene(n_views=2, H=16, W=16)
+    H, W = imgs.shape[1:3]
+    img = jnp.asarray(imgs[0])
+    pose = jnp.asarray(poses[0][:3, :4])
+    key = jax.random.PRNGKey(5)
+
+    model, state1, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    single = make_image_train_step(model, tx, cfg, H, W, K)
+    mesh = make_mesh(8, 1)
+    sharded = make_image_train_step_for_mesh(model, tx, cfg, mesh, H, W, K)
+
+    _, state8, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    for i in range(3):
+        precrop = i < cfg.precrop_iters
+        state1, m1 = single(state1, img, pose, key, precrop=precrop)
+        state8, m8 = sharded(state8, img, pose, key, precrop=precrop)
+        np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                                   rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_per_image_shardmap_pallas_runs_and_is_close():
+    """The shard_map per-image step with the fused Pallas kernels
+    (interpret mode on CPU): same global pixel set as single-device, so the
+    loss must track the single-device value closely (only the per-shard
+    render jitter differs)."""
+    cfg = NerfConfig(netDepth=8, netWidth=256, L_x=10, L_d=4, N_rays=64,
+                     N_samples_c=4, N_samples_f=4, near=2.0, far=6.0,
+                     iter_N=100, iter_warmup=5, use_pallas=True)
+    imgs, K, poses = make_synth_scene(n_views=1, H=16, W=16)
+    H, W = imgs.shape[1:3]
+    img = jnp.asarray(imgs[0])
+    pose = jnp.asarray(poses[0][:3, :4])
+    key = jax.random.PRNGKey(7)
+
+    model, state8, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(8, 1)
+    sharded = make_image_train_step_for_mesh(model, tx, cfg, mesh, H, W, K)
+    _, state1, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    single = make_image_train_step(model, tx, cfg, H, W, K)
+
+    state8b, m8 = sharded(state8, img, pose, key, precrop=False)
+    state1b, m1 = single(state1, img, pose, key, precrop=False)
+    l8, l1 = float(m8["loss"]), float(m1["loss"])
+    assert np.isfinite(l8)
+    assert int(state8b.step) == 1
+    # same pixels/targets; only the stratified jitter stream differs
+    assert abs(l8 - l1) < 0.3 * max(l1, 1e-3), (l8, l1)
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state8.params),
+                        jax.tree_util.tree_leaves(state8b.params)))
+    assert moved
+
+
+def test_per_image_mesh_size_one_falls_through():
+    cfg = _xla_cfg()
+    imgs, K, poses = make_synth_scene(n_views=1, H=8, W=8)
+    H, W = imgs.shape[1:3]
+    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    step = make_image_train_step_for_mesh(model, tx, cfg, mesh, H, W, K)
+    state, m = step(state, jnp.asarray(imgs[0]),
+                    jnp.asarray(poses[0][:3, :4]), jax.random.PRNGKey(1),
+                    precrop=False)
+    assert np.isfinite(float(m["loss"]))

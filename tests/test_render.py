@@ -92,27 +92,23 @@ def test_fine_sampling_concentrates_where_density_is():
     assert out.rgb_f.shape == (4, 3)
 
 
-def test_cull_frac_matches_full_render_on_sparse_scene():
-    """With culling on, rays that keep the fine pass match the exact
-    render; culled (empty) rays keep their coarse result."""
-    import dataclasses
-
-    from nerf_pytorch_paeng_tpu.ops.render import render_rays
-
-    cfg = small_cfg(perturb=0.0)
-    coarse, fine = make_fns(cfg)
-    o, d = rand_rays(256)
-    kw = dict(near=2.0, far=6.0, n_coarse=8, n_fine=16, L_x=4, L_d=2,
-              perturb=0.0, stratified=False)
-    full = render_rays(coarse, fine, o, d, jax.random.PRNGKey(0), **kw)
-    culled = render_rays(coarse, fine, o, d, jax.random.PRNGKey(0),
-                         cull_frac=0.5, **kw)
-    assert culled.rgb_f.shape == (256, 3)
-    # exactly half the rays (top occupancy) must match the full fine render
-    diff = np.abs(np.asarray(culled.rgb_f) - np.asarray(full.rgb_f)).max(-1)
-    n_exact = (diff < 1e-5).sum()
-    assert n_exact >= 128, n_exact
-    # culled rays must equal the coarse result
-    coarse_match = np.abs(np.asarray(culled.rgb_f)
-                          - np.asarray(full.rgb_c)).max(-1)
-    assert ((diff < 1e-5) | (coarse_match < 1e-5)).all()
+def test_merged_depths_are_sorted_and_complete():
+    """The counting merge must produce the sorted union of coarse + fine
+    depths (the reference's jnp.sort equivalent, nerf_process.py:67)."""
+    from nerf_pytorch_paeng_tpu.ops.sampling import (merge_sorted,
+                                                     sorted_uniform)
+    rng = np.random.default_rng(3)
+    a = np.sort(rng.uniform(2, 6, size=(64, 8)).astype(np.float32), -1)
+    b = np.sort(rng.uniform(2, 6, size=(64, 16)).astype(np.float32), -1)
+    got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+    want = np.sort(np.concatenate([a, b], -1), -1)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+    # with duplicates (ties must not collide or drop values)
+    b2 = a[:, :8].copy()
+    got2 = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b2)))
+    want2 = np.sort(np.concatenate([a, b2], -1), -1)
+    np.testing.assert_allclose(got2, want2, rtol=0, atol=0)
+    # sorted_uniform is sorted and in (0, 1)
+    u = np.asarray(sorted_uniform(jax.random.PRNGKey(0), (32, 64)))
+    assert (np.diff(u, axis=-1) >= 0).all()
+    assert (u > 0).all() and (u < 1).all()

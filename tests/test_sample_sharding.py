@@ -1,0 +1,89 @@
+"""Sample-axis (SP-analog) sharding: the per-ray sample dimension split
+over a mesh axis, with the transmittance as a distributed log-space prefix
+sum (parallel/sp.py).  Equality vs the unsharded volume render certifies
+the collective stitching (ppermute bin edge, all_gather prefix, psum)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_pytorch_paeng_tpu.config import NerfConfig
+from nerf_pytorch_paeng_tpu.models import init_nerf
+from nerf_pytorch_paeng_tpu.ops.render import make_xla_field_fns
+from nerf_pytorch_paeng_tpu.ops.sampling import stratified_z_vals
+from nerf_pytorch_paeng_tpu.ops.volume import volume_render_planar
+from nerf_pytorch_paeng_tpu.parallel import make_mesh
+from nerf_pytorch_paeng_tpu.parallel.sp import (composite_sample_sharded,
+                                                make_sample_sharded_render)
+
+
+def _setup(n_rays=32, n_samples=64):
+    cfg = NerfConfig(netDepth=2, netWidth=32, L_x=4, L_d=2,
+                     N_samples_c=n_samples, N_samples_f=0, near=2.0, far=6.0,
+                     compute_dtype="float32", use_pallas=False)
+    model, params = init_nerf(cfg, jax.random.PRNGKey(0))
+    coarse_fn, _ = make_xla_field_fns(model, params, cfg)
+    rng = np.random.default_rng(3)
+    rays_o = jnp.asarray(rng.normal(size=(n_rays, 3)).astype(np.float32))
+    rays_d = jnp.asarray(rng.normal(size=(n_rays, 3)).astype(np.float32))
+    z_vals = stratified_z_vals(jax.random.PRNGKey(1), n_rays, 2.0, 6.0,
+                               n_samples, perturb=True)
+    return cfg, coarse_fn, rays_o, rays_d, z_vals
+
+
+def _unsharded(coarse_fn, rays_o, rays_d, z_vals):
+    n, s = z_vals.shape
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    xp = (rays_o.T[:, :, None]
+          + rays_d.T[:, :, None] * z_vals[None]).reshape(3, -1)
+    dp = jnp.broadcast_to(viewdirs.T[:, :, None], (3, n, s)).reshape(3, -1)
+    raw = coarse_fn(xp, dp).reshape(4, n, s)
+    return volume_render_planar(raw, z_vals, rays_d)
+
+
+def test_sample_sharded_render_matches_unsharded():
+    """Full render (field eval + composite) with 64 samples split 8 ways
+    over the 'model' axis equals the single-device render."""
+    cfg, coarse_fn, rays_o, rays_d, z_vals = _setup()
+    want = _unsharded(coarse_fn, rays_o, rays_d, z_vals)
+
+    mesh = make_mesh(1, 8)   # all 8 devices on the model (sample) axis
+    render = make_sample_sharded_render(coarse_fn, mesh)
+    rgb, disp, acc = render(rays_o, rays_d, z_vals)
+
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(want.rgb),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(want.disp),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(want.acc),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_composite_sample_sharded_weights_slices():
+    """The per-shard local weights are exactly the corresponding slice of
+    the unsharded weights (the scan reformulation is exact, not just the
+    reductions)."""
+    cfg, coarse_fn, rays_o, rays_d, z_vals = _setup(n_rays=16, n_samples=32)
+    n, s = z_vals.shape
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    xp = (rays_o.T[:, :, None]
+          + rays_d.T[:, :, None] * z_vals[None]).reshape(3, -1)
+    dp = jnp.broadcast_to(viewdirs.T[:, :, None], (3, n, s)).reshape(3, -1)
+    raw = coarse_fn(xp, dp).reshape(4, n, s)
+    want = volume_render_planar(raw, z_vals, rays_d)
+
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_pytorch_paeng_tpu.ops.volume import RenderOutputs
+    mesh = make_mesh(1, 8)
+    sm = jax.jit(jax.shard_map(
+        lambda r, z, d: composite_sample_sharded(r, z, d, "model"),
+        mesh=mesh,
+        in_specs=(P(None, None, "model"), P(None, "model"), P()),
+        out_specs=RenderOutputs(P(), P(), P(), P(None, "model"), P()),
+        check_vma=False))
+    got = sm(raw, z_vals, rays_d)
+    np.testing.assert_allclose(np.asarray(got.weights),
+                               np.asarray(want.weights),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(want.rgb),
+                               rtol=1e-4, atol=1e-5)
