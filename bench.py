@@ -111,7 +111,11 @@ def _train_blob_model(cfg, n_steps: int = 300):
     white-background photometric runs learn 'white fog' (acc≈1 everywhere,
     the classic background ambiguity) and nothing would cull; real
     200k-iter multi-view runs do carve out empty space, which distillation
-    reproduces directly (utils/synth.fit_field_to_blob)."""
+    reproduces directly (utils/synth.fit_field_to_blob).
+
+    Blob size picked for lego-like frame occupancy (~30% of an 800x800
+    frame above the cull threshold), so the content-dependent render cost
+    is representative of the headline blender workload."""
     from nerf_pytorch_paeng_tpu.models import init_nerf
     from nerf_pytorch_paeng_tpu.utils.synth import (fit_field_to_blob,
                                                     make_synth_scene)
@@ -120,7 +124,8 @@ def _train_blob_model(cfg, n_steps: int = 300):
     model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
     params, fit_loss = fit_field_to_blob(
         model, params0, jax.random.PRNGKey(1), n_steps=n_steps,
-        n_pts=8192, L_x=cfg.L_x, L_d=cfg.L_d)
+        n_pts=8192, L_x=cfg.L_x, L_d=cfg.L_d,
+        blob_r=0.45, blob_cutoff=1.35)
     return model, params, poses, fit_loss
 
 

@@ -1,33 +1,36 @@
 """Compiled full-frame renderer shared by test/render/bench paths.
 
-One jitted program renders a fixed-size block of rays through the whole
-coarse+fine pipeline; a frame is a pipelined sequence of block dispatches
-(async — the host never blocks between launches).  The reference's
-per-frame host loop did the same shape of work but with per-chunk
-host<->device copies (test.py:40 / nerf_process.py:236); here each block
-is one device program and only the final frame crosses back.
+Dispatch economics drive this design: on the remote-TPU backend every
+program dispatch costs ~20 ms of tunnel latency and every device->host
+sync ~25 ms (see CLAUDE.md), so a frame must be a handful of *large*
+programs, not a loop of small ones.  The reference renders a frame as 157
+host-loop chunks with per-chunk device copies (test.py:40 /
+nerf_process.py:236); here a dense 800x800 frame is ~5 dispatches and the
+culled path is 2 programs + 1 scalar sync + <=3 fine blocks.
 
-Note: the blocks are a host loop rather than a ``lax.map`` on purpose —
-embedding the two fused Pallas kernels in a scanned loop body trips a TPU
-runtime fault (worker crash), and pipelined dispatch costs nothing at
-these block sizes.
+Multiple pallas_calls in one *straight-line* program are fine on this
+backend; embedding them in a lax.map/scan body is the known worker-crash
+(CLAUDE.md), which is why blocks are unrolled host dispatches rather than
+a scanned loop.
 
-With a >1-device mesh, each block additionally shard_maps its rays over
-the whole mesh (pallas_call runs per-shard; GSPMD cannot slice it).
+With a >1-device mesh, the per-block bodies shard_map their rays over the
+whole mesh (pallas_call runs per-shard; GSPMD cannot slice it); the
+frame-global argsort/scatter glue stays in plain jit (GSPMD).
 
 Occupancy-culled rendering (``cfg.render_cull == "auto"``, the default):
-the frame is rendered in two phases.  Phase 1 runs the sigma-only coarse
-pass for every ray and keeps the per-ray sampling stats (z_vals, weights)
-in HBM.  Rays whose coarse occupancy ``acc = Σ weights`` is ≤ tau are
-*culled*: their exact composite lies within tau of the white background
-(rgb = Σ w·sigmoid(c) + (1-acc) ∈ [1-acc, 1] per channel), so they are
-composited directly without ever touching the fine MLP.  Phase 2 compacts
-the surviving rays (a device argsort by occupancy), runs the fine pass on
-just ⌈n_active/block⌉ blocks, and scatters the results back.  On trained
-scenes most background rays cull, so the dominant fine-MLP cost scales
-with scene content instead of pixel count — this is the early-ray-
-termination analog that gets 800×800 frames under a second.  The error is
-bounded by tau on the coarse estimate and guard-tested end-to-end
+  Phase 1 (one program): sigma-only coarse pass for EVERY ray, keeping the
+  per-ray sampling stats (z_vals, weights), plus the cull decision — rays
+  whose coarse occupancy ``acc = Σ weights`` is <= tau composite straight
+  to the white background (their exact composite lies within tau of it:
+  rgb = Σ w·sigmoid(c) + (1-acc) ∈ [1-acc, 1] per channel), the rest are
+  ordered by occupancy (device argsort).
+  One host sync reads the surviving-ray count.
+  Phase 2 (<= ceil(n_active/block) programs): gather a compacted block of
+  surviving rays, hierarchical fine pass, composite, and scatter into the
+  (donated) frame buffers — all in the same program.
+On trained scenes most background rays cull, so the dominant fine-MLP cost
+scales with scene content instead of pixel count.  The error is bounded by
+tau on the coarse estimate and guard-tested end-to-end
 (tests/test_render_culled.py: PSNR delta vs the exact render < 0.05 dB on
 a trained scene).
 """
@@ -42,11 +45,17 @@ import numpy as np
 
 from ..models.nerf import NeRF
 from ..ops.rays import get_rays
-from ..ops.render import (hierarchical_fine_pass, make_pallas_field_fns,
+from ..ops.render import (_pallas_interpret, hierarchical_fine_pass,
+                          hierarchical_z_vals, make_pallas_field_fns,
                           make_pallas_sigma_fn, make_xla_field_fns,
                           maybe_ndc, render_rays_from_cfg)
 from ..ops.sampling import stratified_z_vals
-from ..ops.volume import DISP_CLAMP, weights_from_sigma
+from ..ops.volume import (DISP_CLAMP, volume_render_rays_t,
+                          weights_from_sigma, weights_from_sigma_t)
+
+# default ray-block for the fine phase / dense blocks: big enough that a
+# frame is a few dispatches, small enough that plane buffers stay ~1 GB
+_DEFAULT_BLOCK = 131072
 
 
 def _supports_pallas(cfg) -> bool:
@@ -55,6 +64,24 @@ def _supports_pallas(cfg) -> bool:
     configs fall back to the XLA path, which handles them)."""
     return (cfg.use_pallas and cfg.netDepth == 8 and cfg.netWidth == 256
             and 1 <= cfg.L_x <= 10 and 1 <= cfg.L_d <= 4)
+
+
+def _use_rays_kernels(cfg) -> bool:
+    """The ray-major kernels (positions built in-kernel, no plane
+    materialisation) sweep 8 sample rows per grid step."""
+    return (_supports_pallas(cfg) and cfg.N_samples_c % 8 == 0
+            and (cfg.N_samples_c + cfg.N_samples_f) % 8 == 0)
+
+
+def _pack_od(rays_o, rays_d):
+    """[M, 3]+[M, 3] -> the ray-major kernels' [8, M] packed layout."""
+    return jnp.concatenate(
+        [rays_o.T, rays_d.T,
+         jnp.zeros((2, rays_o.shape[0]), rays_o.dtype)], 0)
+
+
+def _tile_rays_for(m: int) -> int:
+    return 8192 if m % 8192 == 0 else m
 
 
 def _mesh_size(mesh) -> int:
@@ -106,39 +133,49 @@ def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
                                       stratified=stratified)
 
 
-def _make_ray_gen(cfg, H, W, K):
+def _make_ray_gen(cfg, H, W, K, n_padded: int):
+    """Traced ray generation for one camera, padded to the block multiple.
+    Called INSIDE the jitted frame programs — on this backend every eager
+    op is a ~20 ms dispatch, so nothing runs outside jit."""
     K = jnp.asarray(K, jnp.float32)
     focal = float(K[0, 0])
 
-    @jax.jit
     def gen_rays(c2w):
         rays_o, rays_d = get_rays(H, W, K, c2w)
         rays_o = rays_o.reshape(-1, 3)
         rays_d = rays_d.reshape(-1, 3)
-        return maybe_ndc(rays_o, rays_d, H, W, focal, cfg.data_type)
+        rays_o, rays_d = maybe_ndc(rays_o, rays_d, H, W, focal,
+                                   cfg.data_type)
+        n_pad = n_padded - H * W
+        if n_pad:
+            rays_o = jnp.concatenate(
+                [rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
+            rays_d = jnp.concatenate(
+                [rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)
+        return rays_o, rays_d
 
     return gen_rays
 
 
-def _pad_rays(rays_o, rays_d, block):
-    n = rays_o.shape[0]
-    n_pad = (-n) % block
-    if n_pad:
-        rays_o = jnp.concatenate(
-            [rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
-        rays_d = jnp.concatenate(
-            [rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)
-    return rays_o, rays_d, n
+def _pick_block(block_rays, cfg, n_mesh: int, n_padded_hint: int) -> int:
+    block = block_rays or min(_DEFAULT_BLOCK, n_padded_hint)
+    block = max(n_mesh, block - block % n_mesh) if n_mesh > 1 else block
+    return block
 
 
 def _make_dense_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
                                mesh=None, block_rays=None,
                                stratified: bool = True):
-    """Every ray through the full coarse(+fine) pipeline (exact path)."""
+    """Every ray through the full coarse(+fine) pipeline (exact path).
+    One dispatch per ray block; block ~128k rays => an 800x800 frame is
+    ~5 dispatches."""
     n_fine = cfg.N_samples_f
     use_pallas = _supports_pallas(cfg)
-    block = block_rays or cfg.chunk_rays
-    gen_rays = _make_ray_gen(cfg, H, W, K)
+    n_mesh = _mesh_size(mesh)
+    block = _pick_block(block_rays, cfg, n_mesh, H * W)
+    n_total = H * W
+    n_padded = n_total + ((-n_total) % block)
+    gen_rays = _make_ray_gen(cfg, H, W, K, n_padded)
 
     def _field_fns(params):
         if use_pallas:
@@ -159,26 +196,31 @@ def _make_dense_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         disp = out.disp_f if n_fine > 0 else out.disp_c
         return rgb, disp
 
-    if _mesh_size(mesh) > 1:
-        render_block = jax.jit(_shard_over_rays(_block_body, mesh, 2))
+    if n_mesh > 1:
+        block_fn = _shard_over_rays(_block_body, mesh, 2)
     else:
-        render_block = jax.jit(_block_body)
+        block_fn = _block_body
+
+    @jax.jit
+    def render_block(params, c2w, start, key):
+        rays_o, rays_d = gen_rays(c2w)
+        o = jax.lax.dynamic_slice_in_dim(rays_o, start, block, 0)
+        d = jax.lax.dynamic_slice_in_dim(rays_d, start, block, 0)
+        key = jax.random.fold_in(key, start)
+        return block_fn(params, o, d, key)
+
+    @jax.jit
+    def _finalize(parts_rgb, parts_disp):
+        rgb = jnp.concatenate(parts_rgb, 0)[:n_total]
+        disp = jnp.concatenate(parts_disp, 0)[:n_total]
+        return rgb.reshape(H, W, 3), disp.reshape(H, W)
 
     def _render(params, c2w, key):
-        rays_o, rays_d = gen_rays(c2w)
-        rays_o, rays_d, n = _pad_rays(rays_o, rays_d, block)
-        n_blocks = rays_o.shape[0] // block
-        keys = jax.random.split(key, n_blocks)
-        outs = [render_block(params,
-                             jax.lax.dynamic_slice_in_dim(rays_o, i * block,
-                                                          block, 0),
-                             jax.lax.dynamic_slice_in_dim(rays_d, i * block,
-                                                          block, 0),
-                             keys[i])
+        c2w = jnp.asarray(c2w)
+        n_blocks = n_padded // block
+        outs = [render_block(params, c2w, i * block, key)
                 for i in range(n_blocks)]          # pipelined dispatches
-        rgb = jnp.concatenate([o[0] for o in outs], 0)[:n]
-        disp = jnp.concatenate([o[1] for o in outs], 0)[:n]
-        return rgb.reshape(H, W, 3), disp.reshape(H, W)
+        return _finalize([o[0] for o in outs], [o[1] for o in outs])
 
     if not use_pallas:
         return _render
@@ -198,16 +240,30 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     tau = float(cfg.render_cull_tau)
     perturb = float(cfg.perturb)
     use_pallas = _supports_pallas(cfg)
-    block = block_rays or cfg.chunk_rays
-    gen_rays = _make_ray_gen(cfg, H, W, K)
+    n_mesh = _mesh_size(mesh)
     n_total = H * W
+    block = _pick_block(block_rays, cfg, n_mesh, n_total)
     n_padded = n_total + ((-n_total) % block)
+    gen_rays = _make_ray_gen(cfg, H, W, K, n_padded)
+
+    use_rays = _use_rays_kernels(cfg)
+    interpret = _pallas_interpret()
 
     # ---- phase-1 body: sigma-only coarse -> per-ray sampling stats -------
     def _coarse_body(params, rays_o, rays_d, key):
         m = rays_o.shape[0]
         z_vals = stratified_z_vals(key, m, near, far, n_coarse,
                                    perturb=stratified)
+        if use_rays:
+            # ray-major kernel: positions built in-kernel, no [3, P] plane
+            from ..kernels.fused_mlp import fused_mlp_sigma_rays
+            z_t = z_vals.T
+            sigma_t = fused_mlp_sigma_rays(
+                _pack_od(rays_o, rays_d), z_t, params["packed_coarse"],
+                L_x=cfg.L_x, tile_rays=_tile_rays_for(m),
+                interpret=interpret, out_dtype=jnp.bfloat16)
+            weights = weights_from_sigma_t(sigma_t, z_t, rays_d).T
+            return z_vals, weights
         xp = (rays_o.T[:, :, None]
               + rays_d.T[:, :, None] * z_vals[None]).reshape(3, -1)
         if use_pallas:
@@ -223,6 +279,18 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
 
     # ---- phase-2 body: fine pass on a compacted ray block ----------------
     def _fine_body(params, rays_o, rays_d, z_vals, weights, key):
+        if use_rays:
+            from ..kernels.fused_mlp import fused_mlp_eval_rays
+            z_all = hierarchical_z_vals(z_vals, weights, key,
+                                        n_fine=n_fine, perturb=perturb)
+            z_t = z_all.T
+            r, g, b, sg = fused_mlp_eval_rays(
+                _pack_od(rays_o, rays_d), z_t, params["packed_fine"],
+                L_x=cfg.L_x, L_d=cfg.L_d,
+                tile_rays=_tile_rays_for(rays_o.shape[0]),
+                interpret=interpret, out_dtype=jnp.bfloat16)
+            out = volume_render_rays_t(r, g, b, sg, z_t, rays_d)
+            return out.rgb, out.disp
         if use_pallas:
             _, fine_fn = make_pallas_field_fns(
                 params["packed_coarse"], params["packed_fine"], cfg)
@@ -233,84 +301,65 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
                                      perturb=perturb)
         return out.rgb, out.disp
 
-    if _mesh_size(mesh) > 1:
-        coarse_block = jax.jit(_shard_over_rays(_coarse_body, mesh, 2))
-        fine_block = _shard_over_rays(_fine_body, mesh, 4)
+    if n_mesh > 1:
+        coarse_fn_b = _shard_over_rays(_coarse_body, mesh, 2)
+        fine_fn_b = _shard_over_rays(_fine_body, mesh, 4)
     else:
-        coarse_block = jax.jit(_coarse_body)
-        fine_block = _fine_body
+        coarse_fn_b = _coarse_body
+        fine_fn_b = _fine_body
 
     @jax.jit
-    def _order_and_count(weights):
-        """Cull decision over the whole (padded) frame: occupancy, ray
-        order by descending occupancy, number of surviving rays."""
+    def _phase1(params, c2w, key):
+        """ONE program: ray generation, coarse stats for every ray, the
+        cull decision, and the background composite for culled rays."""
+        rays_o, rays_d = gen_rays(c2w)
+        key = jax.random.fold_in(key, 0)
+        z_vals, weights = coarse_fn_b(params, rays_o, rays_d, key)
         acc = jnp.sum(weights, -1)
         # padding rays never survive
         acc = jnp.where(jnp.arange(acc.shape[0]) < n_total, acc, -1.0)
         order = jnp.argsort(-acc)
         n_active = jnp.sum(acc > tau)
-        return acc, order, n_active
-
-    @jax.jit
-    def _background(z_vals, weights, acc):
-        """Composite for culled rays from coarse stats alone: the white-
-        background term dominates (rgb within tau/2 of the exact coarse
-        composite); disp follows the reference formula on coarse stats."""
-        rgb = jnp.broadcast_to((1.0 - 0.5 * acc)[:, None],
-                               (acc.shape[0], 3))
+        # composite for culled rays from coarse stats alone: the white-
+        # background term dominates (rgb within tau/2 of the exact coarse
+        # composite); disp follows the reference formula on coarse stats
+        rgb0 = jnp.broadcast_to((1.0 - 0.5 * jnp.maximum(acc, 0.0))[:, None],
+                                (acc.shape[0], 3))
         depth = jnp.sum(weights * z_vals, -1)
         mean_depth = depth / jnp.maximum(acc, 1e-10)
-        disp = jnp.minimum(1.0 / jnp.maximum(1e-10, mean_depth), DISP_CLAMP)
-        disp = jnp.where(acc <= 0.0, 0.0, disp)
-        return rgb, disp
+        disp0 = jnp.minimum(1.0 / jnp.maximum(1e-10, mean_depth), DISP_CLAMP)
+        disp0 = jnp.where(acc <= 0.0, 0.0, disp0)
+        return (rays_o, rays_d, z_vals, weights, order, n_active,
+                rgb0, disp0)
 
-    @jax.jit
-    def _fine_dispatch(params, rays_o, rays_d, z_all, w_all, order, start,
-                       key):
-        """Gather one compacted block of surviving rays and fine-render it.
+    @functools.partial(jax.jit, donate_argnums=(7, 8))
+    def _phase2(params, rays_o, rays_d, z_all, w_all, order, start,
+                rgb_frame, disp_frame, key):
+        """Gather one compacted block of surviving rays, fine-render it,
+        and scatter into the (donated) frame — one program per block.
         ``start`` is a traced scalar so every block reuses one program."""
         idx = jax.lax.dynamic_slice_in_dim(order, start, block, 0)
-        rgb, disp = fine_block(params, rays_o[idx], rays_d[idx], z_all[idx],
-                               w_all[idx], key)
-        return idx, rgb, disp
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def _scatter(rgb_frame, disp_frame, idx, rgb, disp):
+        key = jax.random.fold_in(key, 1 + start)   # phase 1 used fold_in(.,0)
+        rgb, disp = fine_fn_b(params, rays_o[idx], rays_d[idx], z_all[idx],
+                              w_all[idx], key)
         return rgb_frame.at[idx].set(rgb), disp_frame.at[idx].set(disp)
 
+    @jax.jit
+    def _finalize(rgb_frame, disp_frame):
+        return (rgb_frame[:n_total].reshape(H, W, 3),
+                disp_frame[:n_total].reshape(H, W))
+
     def _render(params, c2w, key):
-        rays_o, rays_d = gen_rays(c2w)
-        rays_o, rays_d, n = _pad_rays(rays_o, rays_d, block)
-        n_blocks = rays_o.shape[0] // block
-        keys = jax.random.split(key, 2 * n_blocks)
-
-        # phase 1: pipelined coarse-occupancy blocks
-        outs = [coarse_block(params,
-                             jax.lax.dynamic_slice_in_dim(rays_o, i * block,
-                                                          block, 0),
-                             jax.lax.dynamic_slice_in_dim(rays_d, i * block,
-                                                          block, 0),
-                             keys[i])
-                for i in range(n_blocks)]
-        z_all = jnp.concatenate([o[0] for o in outs], 0)
-        w_all = jnp.concatenate([o[1] for o in outs], 0)
-
-        acc, order, n_active = _order_and_count(w_all)
-        n_act = int(n_active)                       # one host sync per frame
+        (rays_o, rays_d, z_all, w_all, order, n_active, rgb_frame,
+         disp_frame) = _phase1(params, jnp.asarray(c2w), key)
+        n_act = int(n_active)                     # one host sync per frame
         k_blocks = -(-n_act // block) if n_act else 0
 
-        # culled rays composite straight to (near-)background
-        rgb_frame, disp_frame = _background(z_all, w_all, acc)
-
-        # phase 2: fine pass over compacted blocks only
         for b in range(k_blocks):
-            idx, rgb, disp = _fine_dispatch(
+            rgb_frame, disp_frame = _phase2(
                 params, rays_o, rays_d, z_all, w_all, order,
-                jnp.int32(b * block), keys[n_blocks + b])
-            rgb_frame, disp_frame = _scatter(rgb_frame, disp_frame,
-                                             idx, rgb, disp)
-        return (rgb_frame[:n].reshape(H, W, 3),
-                disp_frame[:n].reshape(H, W))
+                b * block, rgb_frame, disp_frame, key)
+        return _finalize(rgb_frame, disp_frame)
 
     if not use_pallas:
         return _render

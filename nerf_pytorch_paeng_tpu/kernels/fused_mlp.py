@@ -237,6 +237,202 @@ def fused_mlp_eval(xplane: jnp.ndarray, dplane: jnp.ndarray,
 
 
 # --------------------------------------------------------------------------
+# ray-major sigma variant: sample positions are built IN-KERNEL from the
+# ray origins/directions and per-sample depths.  Materialising the [3, P]
+# position plane in HBM costs ~2.67x its logical bytes (3 of 8 sublanes
+# used) twice (write + kernel read) — ~150 ms per 800x800 frame of pure
+# layout tax; here the inputs are [8, N] rays + [S, N] depths (both
+# fully-packed layouts) and the [3, Tr] positions only ever exist in VMEM.
+
+_W_NAMES_SIGMA_RAYS = ("w0", "w1", "w2", "w3", "w4", "w5e", "w5h", "w6", "w7",
+                       "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7",
+                       "wdens", "bdens")
+
+
+def _sigma_rays_kernel(L_x: int, s_rows: int, cdt, out_dtype,
+                       od_ref, z_ref, *refs):
+    w = dict(zip(_W_NAMES_SIGMA_RAYS, refs[:-1]))
+    out_ref = refs[-1]
+
+    def dot(a, h):
+        return jax.lax.dot_general(
+            a[:].astype(cdt), h.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    o = od_ref[0:3, :].astype(jnp.float32)              # [3, Tr]
+    d = od_ref[3:6, :].astype(jnp.float32)              # [3, Tr]
+    rows = []
+    for k in range(s_rows):                             # unrolled sample rows
+        x = o + d * z_ref[k:k + 1, :].astype(jnp.float32)   # [3, Tr]
+        embx = _build_emb(x, L_x, EMBX_ROWS, cdt)
+        h = jax.nn.relu(dot(w["w0"], embx) + w["b0"][:]).astype(cdt)
+        for i in (1, 2, 3, 4):
+            h = jax.nn.relu(dot(w[f"w{i}"], h) + w[f"b{i}"][:]).astype(cdt)
+        h = jax.nn.relu(dot(w["w5e"], embx) + dot(w["w5h"], h)
+                        + w["b5"][:]).astype(cdt)
+        for i in (6, 7):
+            h = jax.nn.relu(dot(w[f"w{i}"], h) + w[f"b{i}"][:]).astype(cdt)
+        sigma = dot(w["wdens"], h) + w["bdens"][:]      # [8, Tr], row 0
+        rows.append(sigma[0:1, :])
+    out_ref[:] = jnp.concatenate(rows, axis=0).astype(out_dtype)
+
+
+def fused_mlp_sigma_rays(od: jnp.ndarray, z_t: jnp.ndarray,
+                         packed: Dict[str, jnp.ndarray], L_x: int = 10,
+                         tile_rays: int = 8192, s_rows: int = 8,
+                         interpret: bool = False,
+                         out_dtype=jnp.float32) -> jnp.ndarray:
+    """Density along rays with positions built in-kernel.
+
+    Args:
+      od:  [8, N] float32 rays — rows 0-2 origin, 3-5 (unnormalised)
+           direction, 6-7 padding.  N % tile_rays == 0.
+      z_t: [S, N] float32 per-sample depths (sample-major; S % s_rows == 0).
+    Returns:
+      [S, N] raw sigma logits (out_dtype).
+    """
+    s, n = z_t.shape
+    assert od.shape == (8, n), (od.shape, n)
+    assert n % tile_rays == 0, (n, tile_rays)
+    assert s % s_rows == 0, (s, s_rows)
+
+    weight_specs = [
+        pl.BlockSpec(packed[name].shape, lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for name in _W_NAMES_SIGMA_RAYS
+    ]
+    grid_spec = pl.GridSpec(
+        # rays outer, samples inner: the od block is constant along j, so
+        # Mosaic keeps it resident across the inner sample sweep
+        grid=(n // tile_rays, s // s_rows),
+        in_specs=[
+            pl.BlockSpec((8, tile_rays), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_rows, tile_rays), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=pl.BlockSpec((s_rows, tile_rays), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+    )
+    cdt = jnp.float32 if interpret else jnp.bfloat16
+    return pl.pallas_call(
+        functools.partial(_sigma_rays_kernel, L_x, s_rows, cdt, out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (64 * 256 + 6 * 256 * 256 + (64 + 256) * 256
+                       + 8 * 256) * s * n,
+            bytes_accessed=(8 + s) * 4 * n + s * n * 4,
+            transcendentals=6 * n * s),
+        interpret=interpret,
+    )(od, z_t, *[packed[name] for name in _W_NAMES_SIGMA_RAYS])
+
+
+def _eval_rays_kernel(L_x: int, L_d: int, s_rows: int, cdt, out_dtype,
+                      od_ref, z_ref, *refs):
+    w = dict(zip(_W_NAMES, refs[:-4]))
+    r_ref, g_ref, b_ref, s_ref = refs[-4:]
+
+    def dot(a, h):
+        return jax.lax.dot_general(
+            a[:].astype(cdt), h.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    o = od_ref[0:3, :].astype(jnp.float32)              # [3, Tr]
+    d = od_ref[3:6, :].astype(jnp.float32)              # [3, Tr]
+    # per-ray work hoisted out of the sample loop: the direction embedding
+    # and its view-branch matmul are sample-independent
+    inv = jax.lax.rsqrt(jnp.sum(d * d, axis=0, keepdims=True))
+    embd = _build_emb(d * inv, L_d, EMBD_ROWS, cdt)
+    hv_dir = dot(w["wvd"], embd) + w["bv"][:]           # [128, Tr] fp32
+
+    rows_r, rows_g, rows_b, rows_s = [], [], [], []
+    for k in range(s_rows):                             # unrolled sample rows
+        x = o + d * z_ref[k:k + 1, :].astype(jnp.float32)   # [3, Tr]
+        embx = _build_emb(x, L_x, EMBX_ROWS, cdt)
+        h = jax.nn.relu(dot(w["w0"], embx) + w["b0"][:]).astype(cdt)
+        for i in (1, 2, 3, 4):
+            h = jax.nn.relu(dot(w[f"w{i}"], h) + w[f"b{i}"][:]).astype(cdt)
+        h = jax.nn.relu(dot(w["w5e"], embx) + dot(w["w5h"], h)
+                        + w["b5"][:]).astype(cdt)
+        for i in (6, 7):
+            h = jax.nn.relu(dot(w[f"w{i}"], h) + w[f"b{i}"][:]).astype(cdt)
+        sigma = dot(w["wdens"], h) + w["bdens"][:]      # [8, Tr], row 0
+        feat = (dot(w["wfeat"], h) + w["bfeat"][:]).astype(cdt)
+        hv = jax.nn.relu(dot(w["wvf"], feat) + hv_dir).astype(cdt)
+        rgb = dot(w["wcol"], hv) + w["bcol"][:]         # [8, Tr], rows 0..2
+        rows_r.append(rgb[0:1, :])
+        rows_g.append(rgb[1:2, :])
+        rows_b.append(rgb[2:3, :])
+        rows_s.append(sigma[0:1, :])
+    r_ref[:] = jnp.concatenate(rows_r, axis=0).astype(out_dtype)
+    g_ref[:] = jnp.concatenate(rows_g, axis=0).astype(out_dtype)
+    b_ref[:] = jnp.concatenate(rows_b, axis=0).astype(out_dtype)
+    s_ref[:] = jnp.concatenate(rows_s, axis=0).astype(out_dtype)
+
+
+def fused_mlp_eval_rays(od: jnp.ndarray, z_t: jnp.ndarray,
+                        packed: Dict[str, jnp.ndarray], L_x: int = 10,
+                        L_d: int = 4, tile_rays: int = 8192,
+                        s_rows: int = 8, interpret: bool = False,
+                        out_dtype=jnp.float32):
+    """Full radiance field along rays with positions built in-kernel (see
+    fused_mlp_sigma_rays).  View directions are normalised in-kernel and
+    their embedding + view-branch matmul are computed once per ray tile
+    instead of once per sample.
+
+    Args:
+      od:  [8, N] float32 rays — rows 0-2 origin, 3-5 (unnormalised)
+           direction, 6-7 padding.  N % tile_rays == 0.
+      z_t: [S, N] float32 per-sample depths (S % s_rows == 0).
+    Returns:
+      (r, g, b, sigma): four [S, N] raw-logit arrays (out_dtype).
+    """
+    s, n = z_t.shape
+    assert od.shape == (8, n), (od.shape, n)
+    assert n % tile_rays == 0, (n, tile_rays)
+    assert s % s_rows == 0, (s, s_rows)
+
+    weight_specs = [
+        pl.BlockSpec(packed[name].shape, lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for name in _W_NAMES
+    ]
+    out_spec = pl.BlockSpec((s_rows, tile_rays), lambda i, j: (j, i),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(n // tile_rays, s // s_rows),
+        in_specs=[
+            pl.BlockSpec((8, tile_rays), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_rows, tile_rays), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=[out_spec] * 4,
+    )
+    cdt = jnp.float32 if interpret else jnp.bfloat16
+    out_shape = [jax.ShapeDtypeStruct((s, n), out_dtype)] * 4
+    return pl.pallas_call(
+        functools.partial(_eval_rays_kernel, L_x, L_d, s_rows, cdt,
+                          out_dtype),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (64 * 256 + 6 * 256 * 256 + (64 + 256) * 256
+                       + 8 * 256 + 256 * 256 + 256 * 128 + 8 * 128) * s * n,
+            bytes_accessed=(8 + s) * 4 * n + 4 * s * n * 4,
+            transcendentals=6 * n * s),
+        interpret=interpret,
+    )(od, z_t, *[packed[name] for name in _W_NAMES])
+
+
+# --------------------------------------------------------------------------
 # sigma-only variant: trunk + density head, no view branch.  During
 # evaluation with a fine pass, the coarse network only contributes sampling
 # weights (test.py:42-47 uses the fine rgb), so its color computation —

@@ -22,8 +22,7 @@ import jax.numpy as jnp
 
 from .posenc import positional_encoding
 from .rays import ndc_rays
-from .sampling import (merge_sorted, sample_pdf_from_u, sorted_uniform,
-                       stratified_z_vals)
+from .sampling import sample_pdf, stratified_z_vals
 from .volume import volume_render_planar
 
 
@@ -144,6 +143,18 @@ def make_pallas_sigma_fn(packed_coarse, cfg, tile: int = 8192):
     return fn
 
 
+def hierarchical_z_vals(z_vals, weights, key, *, n_fine: int,
+                        perturb: float = 1.0) -> jnp.ndarray:
+    """Merged, sorted coarse+fine depths from the coarse sampling stats
+    (reference nerf_process.py:200-204 + the :67 merge-sort).
+    z_vals [M, Sc] sorted, weights [M, Sc] -> [M, Sc + n_fine]."""
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_samples = sample_pdf(key, z_mid, weights[..., 1:-1], n_fine,
+                           det=(perturb == 0.0))
+    z_samples = jax.lax.stop_gradient(z_samples)
+    return jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+
+
 def hierarchical_fine_pass(fine_fn, rays_o, rays_d, z_vals, weights, key, *,
                            n_fine: int, perturb: float = 1.0,
                            scan_impl: str = "cumprod"):
@@ -153,11 +164,6 @@ def hierarchical_fine_pass(fine_fn, rays_o, rays_d, z_vals, weights, key, *,
     Reference nerf_process.py:200-213.  Standalone so the occupancy-culled
     frame renderer (eval/frame.py) can run it on a compacted ray subset.
 
-    The fine u's are drawn *sorted* (order statistics — the same
-    distribution as sorting iid uniforms), so the monotone inverse CDF
-    yields sorted fine depths and the coarse+fine merge (the reference's
-    full sort, nerf_process.py:67) becomes a linear counting merge.
-
     Args:
       rays_o/rays_d: [M, 3]; z_vals: [M, Sc] coarse depths (sorted);
       weights: [M, Sc] coarse compositing weights.
@@ -165,15 +171,8 @@ def hierarchical_fine_pass(fine_fn, rays_o, rays_d, z_vals, weights, key, *,
     """
     m = rays_o.shape[0]
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    if perturb == 0.0:
-        u = jnp.broadcast_to(
-            jnp.linspace(0.0, 1.0, n_fine, dtype=jnp.float32), (m, n_fine))
-    else:
-        u = sorted_uniform(key, (m, n_fine))
-    z_samples = sample_pdf_from_u(z_mid, weights[..., 1:-1], u)
-    z_samples = jax.lax.stop_gradient(z_samples)
-    z_all = merge_sorted(z_vals, z_samples)
+    z_all = hierarchical_z_vals(z_vals, weights, key, n_fine=n_fine,
+                                perturb=perturb)
     s = z_all.shape[-1]
     xp = (rays_o.T[:, :, None] + rays_d.T[:, :, None]
           * z_all[None]).reshape(3, -1)
@@ -226,7 +225,6 @@ def render_rays(
     stratified: bool = True,
     scan_impl: str = "cumprod",
     chunk_pts: int = 524288,
-    fused_sampling: bool = False,
     coarse_sigma_fn=None,
 ) -> RaysRender:
     """Render a flat batch of rays through the coarse(+fine) pipeline.
@@ -281,41 +279,7 @@ def render_rays(
             fine_fn, o_s, d_s, z_s, w_s, key_s,
             n_fine=n_fine, perturb=perturb, scan_impl=scan_impl)
 
-    if fused_sampling:
-        # EXPERIMENTAL, default off: inverse-CDF + sorted merge in one VMEM
-        # kernel (kernels/resample.py).  Numerically verified, but the 3D
-        # one-hot scatter forces tiny (8-row) tiles under the VMEM stack
-        # limit and ends up ~2x slower than the XLA sample_pdf + sort at
-        # production sizes — kept for future per-ray-tile fusion work.
-        # Sorted uniforms are distributionally identical to sorting iid
-        # draws.
-        from ..kernels.resample import fused_resample
-        if perturb == 0.0:
-            u = jnp.broadcast_to(
-                jnp.linspace(0.0, 1.0, n_fine, dtype=jnp.float32),
-                (n_rays, n_fine))
-        else:
-            u = sorted_uniform(key_f, (n_rays, n_fine))
-        tile = 8
-        pad = (-n_rays) % tile
-        # detach INPUTS (not just the output): the resample kernel has no
-        # VJP, and the reference detaches the fine z's anyway
-        # (nerf_process.py:66)
-        zv = jax.lax.stop_gradient(z_vals)
-        w = jax.lax.stop_gradient(weights_c[..., 1:-1])
-        uu = u
-        if pad:
-            zv = jnp.pad(zv, ((0, pad), (0, 0)), mode="edge")
-            w = jnp.pad(w, ((0, pad), (0, 0)), mode="edge")
-            uu = jnp.pad(uu, ((0, pad), (0, 0)), mode="edge")
-        z_all = fused_resample(zv, w, uu, tile=tile,
-                               interpret=_pallas_interpret())[:n_rays]
-        z_all = jax.lax.stop_gradient(z_all)
-        xp_f, dp_f = planes(z_all)
-        raw_f = fine_fn(xp_f, dp_f).reshape(4, n_rays, n_coarse + n_fine)
-        out_f = volume_render_planar(raw_f, z_all, rays_d, scan_impl)
-    else:
-        out_f = fine_pass(rays_o, rays_d, z_vals, weights_c, key_f)
+    out_f = fine_pass(rays_o, rays_d, z_vals, weights_c, key_f)
 
     rgb_c = out_c.rgb if out_c is not None else None
     disp_c = out_c.disp if out_c is not None else None

@@ -32,53 +32,6 @@ def stratified_z_vals(key: jax.Array, n_rays: int, near: float, far: float,
     return lower + (upper - lower) * u
 
 
-def sorted_uniform(key: jax.Array, shape) -> jnp.ndarray:
-    """Sorted-uniform order statistics via normalised exponential spacings:
-    u_k = (E_1+..+E_k) / (E_1+..+E_{n+1}), E ~ Exp(1).
-
-    Distributionally identical to sorting iid uniforms, in O(S) work with
-    no sort.  Feeding these to the monotone inverse-CDF in ``sample_pdf``
-    yields *sorted* fine depths, which turns the coarse+fine depth merge
-    (reference nerf_process.py:67's full sort) into a linear-time
-    ``merge_sorted`` — the fine-sampling glue drops from a [N,192] bitonic
-    sort to compare-count ranks."""
-    n = shape[-1]
-    e = jax.random.exponential(key, (*shape[:-1], n + 1), jnp.float32)
-    s = jnp.cumsum(e, -1)
-    return s[..., :-1] / s[..., -1:]
-
-
-def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Merge per-row sorted sequences: [N, SA] + [N, SB] -> [N, SA+SB].
-
-    A bitonic *merge network*: [a‖+inf-pad, reverse(b) with +inf-pad in
-    front] is a bitonic sequence, so log2(n) compare-exchange stages of
-    elementwise min/max sort it — ~n·log(n) VPU work versus the full
-    bitonic sort's n·log²(n) (XLA lowers jnp.sort to the full network; at
-    [640k, 192] the merge is several times cheaper).  No gathers, no
-    scatters, fixed shapes."""
-    sa, sb = a.shape[-1], b.shape[-1]
-    half = max(sa, sb)
-    half = 1 << (half - 1).bit_length()              # next power of two
-    n = 2 * half
-    inf = jnp.full((*a.shape[:-1], 1), jnp.inf, a.dtype)
-    asc = jnp.concatenate(
-        [a, jnp.broadcast_to(inf, (*a.shape[:-1], half - sa))], -1)
-    desc = jnp.concatenate(
-        [jnp.broadcast_to(inf, (*b.shape[:-1], half - sb)),
-         b[..., ::-1]], -1)
-    x = jnp.concatenate([asc, desc], -1)             # bitonic, [N, n]
-    lead = x.shape[:-1]
-    d = half
-    while d >= 1:
-        y = x.reshape(*lead, n // (2 * d), 2, d)
-        lo = jnp.minimum(y[..., 0, :], y[..., 1, :])
-        hi = jnp.maximum(y[..., 0, :], y[..., 1, :])
-        x = jnp.stack([lo, hi], -2).reshape(*lead, n)
-        d //= 2
-    return x[..., : sa + sb]
-
-
 def sample_pdf(key: jax.Array, bins: jnp.ndarray, weights: jnp.ndarray,
                n_samples: int, det: bool = False) -> jnp.ndarray:
     """Inverse-CDF sample ``n_samples`` depths from a per-ray histogram.
@@ -101,8 +54,7 @@ def sample_pdf(key: jax.Array, bins: jnp.ndarray, weights: jnp.ndarray,
 
 def sample_pdf_from_u(bins: jnp.ndarray, weights: jnp.ndarray,
                       u: jnp.ndarray) -> jnp.ndarray:
-    """Inverse-CDF transform of caller-supplied u's (monotone in u, so
-    sorted u -> sorted depths; see ``sorted_uniform``)."""
+    """Inverse-CDF transform of caller-supplied u's."""
     weights = weights + 1e-5                                 # avoid nans
     pdf = weights / jnp.sum(weights, -1, keepdims=True)
     cdf = jnp.cumsum(pdf, -1)

@@ -97,6 +97,62 @@ def volume_render_planar(raw: jnp.ndarray, z_vals: jnp.ndarray,
     return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)
 
 
+def volume_render_rays_t(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+                         sigma: jnp.ndarray, z_t: jnp.ndarray,
+                         rays_d: jnp.ndarray,
+                         scan_impl: str = "cumprod") -> RenderOutputs:
+    """Same compositing math in the sample-major layout: r/g/b/sigma and
+    z_t are [S, N] (the ray-major kernels' native outputs,
+    kernels/fused_mlp.fused_mlp_eval_rays) — the scan runs along axis 0.
+    ``weights`` in the returned tuple is [S, N] (transposed)."""
+    sigma = sigma.astype(jnp.float32)
+    dists = z_t[1:] - z_t[:-1]
+    dists = jnp.concatenate([dists, jnp.full_like(dists[:1], 1e10)], 0)
+    dists = dists * jnp.linalg.norm(rays_d, axis=-1)[None]      # [S, N]
+
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)          # [S, N]
+    x = 1.0 - alpha + 1e-10
+    if scan_impl == "associative":
+        logs = jnp.log(jnp.maximum(x, 1e-10))
+        inc = jax.lax.associative_scan(jnp.add, logs, axis=0)
+        transmittance = jnp.exp(inc - logs)
+    else:
+        ones = jnp.ones_like(x[:1])
+        transmittance = jnp.cumprod(
+            jnp.concatenate([ones, x], 0), 0)[:-1]
+    weights = alpha * transmittance                             # [S, N]
+
+    rgb_map = jnp.stack(
+        [jnp.sum(weights * jax.nn.sigmoid(c.astype(jnp.float32)), 0)
+         for c in (r, g, b)], -1)                               # [N, 3]
+    depth_map = jnp.sum(weights * z_t, 0)
+    acc_map = jnp.sum(weights, 0)
+
+    mean_depth = depth_map / jnp.maximum(acc_map, 1e-10)
+    disp_map = 1.0 / jnp.maximum(1e-10, mean_depth)
+    disp_map = jnp.minimum(disp_map, DISP_CLAMP)
+    disp_map = jnp.where(acc_map == 0.0, 0.0, disp_map)
+
+    rgb_map = rgb_map + (1.0 - acc_map[..., None])
+    return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)
+
+
+def weights_from_sigma_t(sigma_t: jnp.ndarray, z_t: jnp.ndarray,
+                         rays_d: jnp.ndarray,
+                         scan_impl: str = "cumprod") -> jnp.ndarray:
+    """weights_from_sigma in the sample-major layout: sigma_t/z_t [S, N]
+    -> weights [S, N]."""
+    sigma_t = sigma_t.astype(jnp.float32)
+    dists = z_t[1:] - z_t[:-1]
+    dists = jnp.concatenate([dists, jnp.full_like(dists[:1], 1e10)], 0)
+    dists = dists * jnp.linalg.norm(rays_d, axis=-1)[None]
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma_t) * dists)
+    x = 1.0 - alpha + 1e-10
+    ones = jnp.ones_like(x[:1])
+    transmittance = jnp.cumprod(jnp.concatenate([ones, x], 0), 0)[:-1]
+    return alpha * transmittance
+
+
 def volume_render(raw: jnp.ndarray, z_vals: jnp.ndarray, rays_d: jnp.ndarray,
                   scan_impl: str = "cumprod") -> RenderOutputs:
     """Composite raw MLP outputs along each ray.

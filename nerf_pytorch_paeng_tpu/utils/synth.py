@@ -94,7 +94,8 @@ def make_synth_scene(n_views: int = 8, H: int = 32, W: int = 32,
 
 def fit_field_to_blob(model, params, key, n_steps: int = 400,
                       n_pts: int = 8192, lr: float = 2e-3,
-                      L_x: int = 10, L_d: int = 4):
+                      L_x: int = 10, L_d: int = 4,
+                      blob_r: float = 0.6, blob_cutoff: float = 1.8):
     """Distill the analytic blob field directly into both MLPs.
 
     Photometric training on the white-background blob is ambiguous at small
@@ -120,9 +121,13 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
     near, far, radius, phi, focal_frac = 2.0, 6.0, 4.0, 0.35, 0.9
 
     def field_gt(pts):
-        # same truncated blob as _density (see its docstring re: 1e10 tails)
-        d2 = jnp.sum(pts ** 2, -1) / (2 * 0.6 * 0.6)
-        floor = jnp.exp(-jnp.asarray((1.8 * 1.8) / (2 * 0.6 * 0.6)))
+        # same truncated-blob form as _density (its docstring explains why
+        # compact support matters under the 1e10 last-sample distance);
+        # blob_r/blob_cutoff control how much of the frame the object
+        # covers (benchmarks pick a lego-like ~30% occupancy)
+        d2 = jnp.sum(pts ** 2, -1) / (2 * blob_r * blob_r)
+        floor = jnp.exp(-jnp.asarray(
+            (blob_cutoff * blob_cutoff) / (2 * blob_r * blob_r)))
         sig = 8.0 * jnp.maximum(jnp.exp(-d2) - floor, 0.0)
         col = 0.5 + 0.4 * jnp.stack(
             [jnp.sin(2.0 * pts[..., 0]), jnp.sin(2.0 * pts[..., 1]),

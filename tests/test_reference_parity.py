@@ -232,14 +232,10 @@ def test_full_render_rays_parity():
                        tgt_key, near=2.0, far=6.0, n_coarse=SC, n_fine=SF,
                        L_x=10, L_d=4, perturb=1.0)
 
-    # replicate the exact uniform draws our pipeline makes (the fine u's
-    # are sorted order statistics — same distribution as iid uniforms, and
-    # the reference's inverse-CDF + merge-sort is permutation-invariant in
-    # them, so feeding the same values reproduces the same render)
-    from nerf_pytorch_paeng_tpu.ops.sampling import sorted_uniform
+    # replicate the exact uniform draws our pipeline makes
     key_c, key_f = jax.random.split(tgt_key)
     t_rand = np.asarray(jax.random.uniform(key_c, (N, SC), jnp.float32))
-    u_fine = np.asarray(sorted_uniform(key_f, (N, SF)))
+    u_fine = np.asarray(jax.random.uniform(key_f, (N, SF), jnp.float32))
 
     # ---- reference path on CPU -----------------------------------------
     ref_coarse = _inject_into_ref_module(params["coarse"]).eval()
@@ -332,15 +328,12 @@ def test_training_trajectory_parity():
                         jnp.asarray(t), step_key)
         ours_loss.append(float(m["loss"]))
 
-    # the exact uniform draws our renderer makes at step i (fine u's are
-    # sorted order statistics; see test_full_render_rays_parity)
-    from nerf_pytorch_paeng_tpu.ops.sampling import sorted_uniform
-
+    # the exact uniform draws our renderer makes at step i
     def draws(i):
         k = jax.random.fold_in(step_key, i)
         kc, kf = jax.random.split(k)
         return (np.asarray(jax.random.uniform(kc, (N, SC), jnp.float32)),
-                np.asarray(sorted_uniform(kf, (N, SF))))
+                np.asarray(jax.random.uniform(kf, (N, SF), jnp.float32)))
 
     # ---- reference loop on CPU ------------------------------------------
     ref_coarse = _inject_into_ref_module(init_params["coarse"])

@@ -90,25 +90,3 @@ def test_fine_sampling_concentrates_where_density_is():
         near=2.0, far=6.0, n_coarse=8, n_fine=16, L_x=4, L_d=2,
         perturb=0.0, stratified=False)
     assert out.rgb_f.shape == (4, 3)
-
-
-def test_merged_depths_are_sorted_and_complete():
-    """The counting merge must produce the sorted union of coarse + fine
-    depths (the reference's jnp.sort equivalent, nerf_process.py:67)."""
-    from nerf_pytorch_paeng_tpu.ops.sampling import (merge_sorted,
-                                                     sorted_uniform)
-    rng = np.random.default_rng(3)
-    a = np.sort(rng.uniform(2, 6, size=(64, 8)).astype(np.float32), -1)
-    b = np.sort(rng.uniform(2, 6, size=(64, 16)).astype(np.float32), -1)
-    got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
-    want = np.sort(np.concatenate([a, b], -1), -1)
-    np.testing.assert_allclose(got, want, rtol=0, atol=0)
-    # with duplicates (ties must not collide or drop values)
-    b2 = a[:, :8].copy()
-    got2 = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b2)))
-    want2 = np.sort(np.concatenate([a, b2], -1), -1)
-    np.testing.assert_allclose(got2, want2, rtol=0, atol=0)
-    # sorted_uniform is sorted and in (0, 1)
-    u = np.asarray(sorted_uniform(jax.random.PRNGKey(0), (32, 64)))
-    assert (np.diff(u, axis=-1) >= 0).all()
-    assert (u > 0).all() and (u < 1).all()

@@ -49,9 +49,7 @@ def main():
                                                           fused_mlp_sigma,
                                                           pack_nerf_mlp_params)
     from nerf_pytorch_paeng_tpu.models import init_nerf
-    from nerf_pytorch_paeng_tpu.ops.sampling import (merge_sorted, sample_pdf,
-                                                     sample_pdf_from_u,
-                                                     sorted_uniform)
+    from nerf_pytorch_paeng_tpu.ops.sampling import sample_pdf
 
     log(f"backend: {jax.default_backend()}")
     cfg = NerfConfig(near=2.0, far=6.0)
@@ -80,31 +78,6 @@ def main():
 
     t = timeit(jax.jit(glue_old), z_vals, w, key)
     log(f"glue OLD (sample_pdf + sort): {t*1e3:.1f} ms")
-
-    def glue_new(z_vals, w, key):
-        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        u = sorted_uniform(key, (z_vals.shape[0], SF))
-        z_samples = sample_pdf_from_u(z_mid, w[..., 1:-1], u)
-        return merge_sorted(z_vals, z_samples)
-
-    t = timeit(jax.jit(glue_new), z_vals, w, key)
-    log(f"glue NEW (sorted-u + bitonic merge): {t*1e3:.1f} ms")
-
-    def pdf_only(z_vals, w, key):
-        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        u = sorted_uniform(key, (z_vals.shape[0], SF))
-        return sample_pdf_from_u(z_mid, w[..., 1:-1], u)
-
-    t = timeit(jax.jit(pdf_only), z_vals, w, key)
-    log(f"  sample_pdf_from_u alone: {t*1e3:.1f} ms")
-
-    # sanity
-    za = jax.jit(glue_new)(z_vals[:512], w[:512], key)
-    zs = sorted_uniform(key, (512, SF))
-    zp = sample_pdf_from_u(0.5 * (z_vals[:512, 1:] + z_vals[:512, :-1]),
-                           w[:512, 1:-1], zs)
-    zb = jnp.sort(jnp.concatenate([z_vals[:512], zp], -1), -1)
-    log(f"merge-vs-sort max err: {float(jnp.max(jnp.abs(za - zb))):.2e}")
 
     # ---- composite + planes ------------------------------------------------
     from nerf_pytorch_paeng_tpu.ops.volume import volume_render_planar
