@@ -27,11 +27,17 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _note(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 BASELINE_RAYS_PER_SEC = 13_500.0  # RTX 3090 estimate (see module docstring)
 V5E_PEAK_BF16 = 197e12            # TPU v5e peak bf16 FLOP/s (public spec)
@@ -69,8 +75,10 @@ def bench_train(n_steps: int = 15, reps: int = 3, use_pallas: bool = True):
     key = jax.random.PRNGKey(1)
 
     state0 = state
+    _note("compiling train step...")
     state, m = step(state, o, d, rgb, key)   # warmup/compile
     _sync(m["loss"])
+    _note("train step compiled")
 
     times = []
     for _ in range(reps):
@@ -82,6 +90,7 @@ def bench_train(n_steps: int = 15, reps: int = 3, use_pallas: bool = True):
     sec_per_step = min(times) / n_steps
 
     # scanned variant: n_steps updates inside ONE lax.scan program
+    _note(f"pipelined: {sec_per_step*1e3:.1f} ms/step; compiling scanned...")
     scanned = jax.jit(make_scanned_train_step(model, tx, cfg,
                                               n_inner=n_steps))
     stack = lambda x: jnp.broadcast_to(x, (n_steps, *x.shape))
@@ -95,6 +104,7 @@ def bench_train(n_steps: int = 15, reps: int = 3, use_pallas: bool = True):
         _sync(ms["loss"])
         times.append(time.perf_counter() - t0)
     sec_per_step_scanned = min(times) / n_steps
+    _note(f"scanned: {sec_per_step_scanned*1e3:.1f} ms/step")
 
     # fwd + recompute + backward ~= 4x forward FLOPs (residual-free
     # custom-VJP backward recomputes activations; kernels/fused_mlp_vjp.py)
@@ -122,6 +132,7 @@ def _train_blob_model(cfg, n_steps: int = 300):
 
     _, _, poses = make_synth_scene(n_views=1, H=8, W=8)
     model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
+    _note("fitting blob model...")
     params, fit_loss = fit_field_to_blob(
         model, params0, jax.random.PRNGKey(1), n_steps=n_steps,
         n_pts=8192, L_x=cfg.L_x, L_d=cfg.L_d,
@@ -129,23 +140,24 @@ def _train_blob_model(cfg, n_steps: int = 300):
     return model, params, poses, fit_loss
 
 
-def bench_render(H: int = 800, W: int = 800, block: int = 16384,
+def bench_render(H: int = 800, W: int = 800, block=None,
                  reps: int = 3, use_pallas: bool = True):
     from nerf_pytorch_paeng_tpu.config import NerfConfig
     from nerf_pytorch_paeng_tpu.eval.frame import make_frame_renderer
 
-    cfg = NerfConfig(near=2.0, far=6.0, chunk_rays=block,
-                     use_pallas=use_pallas)
+    cfg = NerfConfig(near=2.0, far=6.0, use_pallas=use_pallas)
     model, params, poses, fit_loss = _train_blob_model(cfg)
     focal = 0.9 * W
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
     c2w = jnp.asarray(poses[0][:3, :4])
 
     def time_renderer(rc):
+        _note(f"compiling {rc} renderer...")
         r = make_frame_renderer(model, dataclasses.replace(cfg, render_cull=rc),
                                 H, W, K, block_rays=block)
         rgb, disp = r(params, c2w, jax.random.PRNGKey(1))
         _sync(rgb)
+        _note(f"{rc} renderer warm")
         times = []
         for i in range(reps):
             t0 = time.perf_counter()

@@ -45,7 +45,7 @@ import numpy as np
 
 from ..models.nerf import NeRF
 from ..ops.rays import get_rays
-from ..ops.render import (_pallas_interpret, hierarchical_fine_pass,
+from ..ops.render import (_pallas_interpret,
                           hierarchical_z_vals, make_pallas_field_fns,
                           make_pallas_sigma_fn, make_xla_field_fns,
                           maybe_ndc, render_rays_from_cfg)
@@ -53,9 +53,12 @@ from ..ops.sampling import stratified_z_vals
 from ..ops.volume import (DISP_CLAMP, volume_render_rays_t,
                           weights_from_sigma, weights_from_sigma_t)
 
-# default ray-block for the fine phase / dense blocks: big enough that a
-# frame is a few dispatches, small enough that plane buffers stay ~1 GB
+# default ray-blocks: big enough that a frame is a few (pipelined)
+# dispatches, small enough to bound buffer sizes — and, for the culled
+# fine phase, to bound the wasted work in the last partially-filled block
+# (expected waste = block/2 rays of fine MLP)
 _DEFAULT_BLOCK = 131072
+_DEFAULT_FINE_BLOCK = 65536
 
 
 def _supports_pallas(cfg) -> bool:
@@ -157,8 +160,9 @@ def _make_ray_gen(cfg, H, W, K, n_padded: int):
     return gen_rays
 
 
-def _pick_block(block_rays, cfg, n_mesh: int, n_padded_hint: int) -> int:
-    block = block_rays or min(_DEFAULT_BLOCK, n_padded_hint)
+def _pick_block(block_rays, cfg, n_mesh: int, n_padded_hint: int,
+                default: int = _DEFAULT_BLOCK) -> int:
+    block = block_rays or min(default, n_padded_hint)
     block = max(n_mesh, block - block % n_mesh) if n_mesh > 1 else block
     return block
 
@@ -187,7 +191,38 @@ def _make_dense_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         coarse, fine = make_xla_field_fns(model, params, cfg)
         return coarse, fine, None
 
+    use_rays = _use_rays_kernels(cfg) and n_fine > 0
+    interpret = _pallas_interpret()
+    n_coarse = cfg.N_samples_c
+    near, far = float(cfg.near), float(cfg.far)
+    perturb = float(cfg.perturb)
+
     def _block_body(params, rays_o, rays_d, key):
+        if use_rays:
+            # ray-major kernels end-to-end: sigma-only coarse for weights,
+            # hierarchical resample, full fine pass — no [3, P] planes
+            from ..kernels.fused_mlp import (fused_mlp_eval_rays,
+                                             fused_mlp_sigma_rays)
+            m = rays_o.shape[0]
+            key_c, key_f = jax.random.split(key)
+            z_vals = stratified_z_vals(key_c, m, near, far, n_coarse,
+                                       perturb=stratified)
+            od = _pack_od(rays_o, rays_d)
+            tile = _tile_rays_for(m)
+            sigma_t = fused_mlp_sigma_rays(
+                od, z_vals.T, params["packed_coarse"], L_x=cfg.L_x,
+                tile_rays=tile, interpret=interpret,
+                out_dtype=jnp.bfloat16)
+            weights = weights_from_sigma_t(sigma_t, z_vals.T, rays_d).T
+            z_all = hierarchical_z_vals(z_vals, weights, key_f,
+                                        n_fine=n_fine, perturb=perturb)
+            z_t = z_all.T
+            r, g, b, sg = fused_mlp_eval_rays(
+                od, z_t, params["packed_fine"], L_x=cfg.L_x, L_d=cfg.L_d,
+                tile_rays=tile, interpret=interpret,
+                out_dtype=jnp.bfloat16)
+            out = volume_render_rays_t(r, g, b, sg, z_t, rays_d)
+            return out.rgb, out.disp
         coarse, fine, sigma = _field_fns(params)
         out = render_rays_from_cfg(coarse, fine, rays_o, rays_d, key, cfg,
                                    stratified=stratified,
@@ -296,9 +331,17 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
                 params["packed_coarse"], params["packed_fine"], cfg)
         else:
             _, fine_fn = make_xla_field_fns(model, params, cfg)
-        out = hierarchical_fine_pass(fine_fn, rays_o, rays_d, z_vals,
-                                     weights, key, n_fine=n_fine,
-                                     perturb=perturb)
+        z_all = hierarchical_z_vals(z_vals, weights, key, n_fine=n_fine,
+                                    perturb=perturb)
+        m, s_all = z_all.shape
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        xp = (rays_o.T[:, :, None]
+              + rays_d.T[:, :, None] * z_all[None]).reshape(3, -1)
+        dp = jnp.broadcast_to(viewdirs.T[:, :, None],
+                              (3, m, s_all)).reshape(3, -1)
+        from ..ops.volume import volume_render_planar
+        raw = fine_fn(xp, dp).reshape(4, m, s_all)
+        out = volume_render_planar(raw, z_all, rays_d)
         return out.rgb, out.disp
 
     if n_mesh > 1:
@@ -332,17 +375,44 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         return (rays_o, rays_d, z_vals, weights, order, n_active,
                 rgb0, disp0)
 
-    @functools.partial(jax.jit, donate_argnums=(7, 8))
-    def _phase2(params, rays_o, rays_d, z_all, w_all, order, start,
-                rgb_frame, disp_frame, key):
-        """Gather one compacted block of surviving rays, fine-render it,
-        and scatter into the (donated) frame — one program per block.
-        ``start`` is a traced scalar so every block reuses one program."""
-        idx = jax.lax.dynamic_slice_in_dim(order, start, block, 0)
-        key = jax.random.fold_in(key, 1 + start)   # phase 1 used fold_in(.,0)
-        rgb, disp = fine_fn_b(params, rays_o[idx], rays_d[idx], z_all[idx],
-                              w_all[idx], key)
-        return rgb_frame.at[idx].set(rgb), disp_frame.at[idx].set(disp)
+    def _make_phase2(blk):
+        @functools.partial(jax.jit, donate_argnums=(7, 8))
+        def _phase2(params, rays_o, rays_d, z_all, w_all, order, start,
+                    rgb_frame, disp_frame, key):
+            """Gather one compacted block of surviving rays, fine-render
+            it, and scatter into the (donated) frame — one program per
+            block size.  ``start`` is a traced scalar so blocks of the
+            same size share one program."""
+            idx = jax.lax.dynamic_slice_in_dim(order, start, blk, 0)
+            key = jax.random.fold_in(key, 1 + start)  # phase 1 used (.,0)
+            rgb, disp = fine_fn_b(params, rays_o[idx], rays_d[idx],
+                                  z_all[idx], w_all[idx], key)
+            return rgb_frame.at[idx].set(rgb), disp_frame.at[idx].set(disp)
+
+        return _phase2
+
+    # mixed block sizes: the surviving-ray count is covered greedily by
+    # {block, block/2, block/4}-sized programs, so the wasted fine-MLP
+    # work in the final partial block is at most block/4 rays instead of
+    # a full block (each size compiles once and is reused across frames)
+    _sizes = []
+    for sz in (block, block // 2, block // 4):
+        if sz >= max(8, n_mesh) and sz % max(1, n_mesh) == 0 and sz % 8 == 0:
+            _sizes.append(sz)
+    _sizes = _sizes or [block]
+    _phase2_cache = {sz: _make_phase2(sz) for sz in _sizes}
+
+    def _cover(n_act: int):
+        """Greedy (start, size) decomposition covering >= n_act rays."""
+        g = _sizes[-1]
+        rem = -(-n_act // g) * g
+        out, pos = [], 0
+        for sz in _sizes:
+            while rem >= sz:
+                out.append((pos, sz))
+                pos += sz
+                rem -= sz
+        return out
 
     @jax.jit
     def _finalize(rgb_frame, disp_frame):
@@ -353,12 +423,10 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         (rays_o, rays_d, z_all, w_all, order, n_active, rgb_frame,
          disp_frame) = _phase1(params, jnp.asarray(c2w), key)
         n_act = int(n_active)                     # one host sync per frame
-        k_blocks = -(-n_act // block) if n_act else 0
-
-        for b in range(k_blocks):
-            rgb_frame, disp_frame = _phase2(
+        for start, sz in _cover(n_act):
+            rgb_frame, disp_frame = _phase2_cache[sz](
                 params, rays_o, rays_d, z_all, w_all, order,
-                b * block, rgb_frame, disp_frame, key)
+                start, rgb_frame, disp_frame, key)
         return _finalize(rgb_frame, disp_frame)
 
     if not use_pallas:

@@ -147,7 +147,13 @@ def hierarchical_z_vals(z_vals, weights, key, *, n_fine: int,
                         perturb: float = 1.0) -> jnp.ndarray:
     """Merged, sorted coarse+fine depths from the coarse sampling stats
     (reference nerf_process.py:200-204 + the :67 merge-sort).
-    z_vals [M, Sc] sorted, weights [M, Sc] -> [M, Sc + n_fine]."""
+    z_vals [M, Sc] sorted, weights [M, Sc] -> [M, Sc + n_fine].
+
+    Note: an experiment that merged only the top-k coarse samples by
+    weight (to cut fine-MLP work) lost ~10 dB on soft volumetric content —
+    in soft media the coarse weights are NOT concentrated and every coarse
+    sample carries real mass, so the full merge is required for quality
+    (the reference semantics, kept exactly)."""
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
     z_samples = sample_pdf(key, z_mid, weights[..., 1:-1], n_fine,
                            det=(perturb == 0.0))
