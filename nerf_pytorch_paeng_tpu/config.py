@@ -83,7 +83,11 @@ class NerfConfig:
     N_rays: int = 4096
     N_samples_c: int = 64
     N_samples_f: int = 128
-    chunk_rays: int = 4096        # ray-block size for full-frame renders
+    # reference host-chunk knob (nerf_process.py:236); consumed by
+    # ops/render.render_frame.  The production frame renderer
+    # (eval/frame.py) auto-picks large ray blocks instead — pass
+    # block_rays there to override.
+    chunk_rays: int = 4096
     # in-program MLP point-chunk (compiled lax.map; reference default is
     # 524288 but >=512k-row bf16 backward matmuls trip a TPU backend
     # regalloc bug, so we default one notch lower)
@@ -131,10 +135,14 @@ class NerfConfig:
     # and runs interpreted off-TPU
     use_pallas: bool = True
     # occupancy-culled full-frame rendering (eval/frame.py): rays whose
-    # coarse occupancy (sum of compositing weights) is <= render_cull_tau
-    # composite straight to the white background and skip the fine MLP —
-    # per-channel error bounded by tau, guard-tested < 0.05 dB vs the
-    # exact render on trained scenes.  "auto" (default) | "none" (dense).
+    # COARSE occupancy (sum of compositing weights) is <= render_cull_tau
+    # composite straight to the white background and skip the fine MLP.
+    # The tau bound is on the coarse composite; the culled ray's exact
+    # fine render is bounded only insofar as the trained coarse and fine
+    # fields agree on empty space (they are trained on the same data; the
+    # guard test certifies < 0.05 dB vs the exact render on a trained
+    # scene).  Use "none" for exact dense rendering, e.g. for untrained
+    # or deliberately mismatched coarse/fine networks.
     render_cull: str = "auto"
     render_cull_tau: float = 1e-3
     log_dir: str = ""             # defaults to <repo>/logs

@@ -119,11 +119,20 @@ def main_worker(cfg: NerfConfig) -> None:
             model, tx, cfg, mesh, H, W, float(K[0][0]))
     else:
         print(">> per-image sampling mode (sharded over the mesh)")
+        import functools
+
         ray_pool = None
-        step_fn = make_image_train_step_for_mesh(model, tx, cfg, mesh,
-                                                 H, W, K)
+        step_raw = make_image_train_step_for_mesh(model, tx, cfg, mesh,
+                                                  H, W, K)
         images_dev = jnp.asarray(images)
         poses_dev = jnp.asarray(extrinsics)[:, :3, :4]
+
+        # index the image/pose INSIDE the jitted step: eager slicing costs
+        # two ~20 ms tunnel dispatches per step on the remote backend
+        @functools.partial(jax.jit, static_argnames=("precrop",))
+        def step_fn(state, i_img, key, precrop=False):
+            return step_raw(state, images_dev[i_img], poses_dev[i_img],
+                            key, precrop=precrop)
 
     # ---- 5. observability ------------------------------------------------
     logger = MetricLogger(cfg.logdir, cfg.exp_name)
@@ -153,7 +162,7 @@ def main_worker(cfg: NerfConfig) -> None:
         else:
             i_img = int(rng.choice(i_train))
             state, metrics = step_fn(
-                state, images_dev[i_img], poses_dev[i_img], step_key,
+                state, i_img, step_key,
                 precrop=bool(i < cfg.precrop_iters))
 
         if i % cfg.idx_vis == 0 or i % cfg.idx_print == 0:

@@ -45,7 +45,7 @@ import numpy as np
 
 from ..models.nerf import NeRF
 from ..ops.rays import get_rays
-from ..ops.render import (_pallas_interpret,
+from ..ops.render import (_pallas_interpret, hierarchical_fine_pass,
                           hierarchical_z_vals, make_pallas_field_fns,
                           make_pallas_sigma_fn, make_xla_field_fns,
                           maybe_ndc, render_rays_from_cfg)
@@ -53,12 +53,11 @@ from ..ops.sampling import stratified_z_vals
 from ..ops.volume import (DISP_CLAMP, volume_render_rays_t,
                           weights_from_sigma, weights_from_sigma_t)
 
-# default ray-blocks: big enough that a frame is a few (pipelined)
-# dispatches, small enough to bound buffer sizes — and, for the culled
-# fine phase, to bound the wasted work in the last partially-filled block
-# (expected waste = block/2 rays of fine MLP)
+# default ray-block: big enough that a frame is a few (pipelined)
+# dispatches, small enough to bound buffer sizes; the culled fine phase
+# additionally covers the surviving rays with {block, block/2, block/4}
+# programs so last-block waste is bounded by block/4
 _DEFAULT_BLOCK = 131072
-_DEFAULT_FINE_BLOCK = 65536
 
 
 def _supports_pallas(cfg) -> bool:
@@ -83,8 +82,27 @@ def _pack_od(rays_o, rays_d):
          jnp.zeros((2, rays_o.shape[0]), rays_o.dtype)], 0)
 
 
-def _tile_rays_for(m: int) -> int:
-    return 8192 if m % 8192 == 0 else m
+def _rays_tiling(m: int):
+    """(tile_rays, padded_m) for the ray-major kernels.  Tiles are capped
+    at 8192 lanes — larger tiles oversubscribe VMEM (the documented
+    16384-crash, ops/render.py) — and the ray count is padded up to a tile
+    multiple instead."""
+    if m <= 8192:
+        return m, m
+    return 8192, -(-m // 8192) * 8192
+
+
+def _pad_rays_z(od, z_t, padded_m: int):
+    """Pad [8, m] rays and [S, m] depths to padded_m columns (dummy rays
+    with unit directions; outputs are sliced back before use)."""
+    m = od.shape[1]
+    if padded_m == m:
+        return od, z_t
+    pad = padded_m - m
+    od = jnp.concatenate([od, jnp.ones((8, pad), od.dtype)], 1)
+    z_t = jnp.concatenate([z_t, jnp.broadcast_to(z_t[:, -1:],
+                                                 (z_t.shape[0], pad))], 1)
+    return od, z_t
 
 
 def _mesh_size(mesh) -> int:
@@ -160,8 +178,12 @@ def _make_ray_gen(cfg, H, W, K, n_padded: int):
     return gen_rays
 
 
-def _pick_block(block_rays, cfg, n_mesh: int, n_padded_hint: int,
+def _pick_block(block_rays, n_mesh: int, n_padded_hint: int,
                 default: int = _DEFAULT_BLOCK) -> int:
+    """Ray-block size for the frame programs.  Auto-picked (NOT
+    cfg.chunk_rays, which keeps the reference's host-chunk semantics for
+    ops/render.render_frame): on this backend small blocks mean many
+    dispatches, and kernels tile internally, so big blocks are free."""
     block = block_rays or min(default, n_padded_hint)
     block = max(n_mesh, block - block % n_mesh) if n_mesh > 1 else block
     return block
@@ -176,7 +198,7 @@ def _make_dense_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     n_fine = cfg.N_samples_f
     use_pallas = _supports_pallas(cfg)
     n_mesh = _mesh_size(mesh)
-    block = _pick_block(block_rays, cfg, n_mesh, H * W)
+    block = _pick_block(block_rays, n_mesh, H * W)
     n_total = H * W
     n_padded = n_total + ((-n_total) % block)
     gen_rays = _make_ray_gen(cfg, H, W, K, n_padded)
@@ -208,20 +230,23 @@ def _make_dense_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
             z_vals = stratified_z_vals(key_c, m, near, far, n_coarse,
                                        perturb=stratified)
             od = _pack_od(rays_o, rays_d)
-            tile = _tile_rays_for(m)
+            tile, pm = _rays_tiling(m)
+            od_p, z_p = _pad_rays_z(od, z_vals.T, pm)
             sigma_t = fused_mlp_sigma_rays(
-                od, z_vals.T, params["packed_coarse"], L_x=cfg.L_x,
+                od_p, z_p, params["packed_coarse"], L_x=cfg.L_x,
                 tile_rays=tile, interpret=interpret,
-                out_dtype=jnp.bfloat16)
+                out_dtype=jnp.bfloat16)[:, :m]
             weights = weights_from_sigma_t(sigma_t, z_vals.T, rays_d).T
             z_all = hierarchical_z_vals(z_vals, weights, key_f,
                                         n_fine=n_fine, perturb=perturb)
             z_t = z_all.T
+            od_p, z_p = _pad_rays_z(od, z_t, pm)
             r, g, b, sg = fused_mlp_eval_rays(
-                od, z_t, params["packed_fine"], L_x=cfg.L_x, L_d=cfg.L_d,
+                od_p, z_p, params["packed_fine"], L_x=cfg.L_x, L_d=cfg.L_d,
                 tile_rays=tile, interpret=interpret,
                 out_dtype=jnp.bfloat16)
-            out = volume_render_rays_t(r, g, b, sg, z_t, rays_d)
+            out = volume_render_rays_t(r[:, :m], g[:, :m], b[:, :m],
+                                       sg[:, :m], z_t, rays_d)
             return out.rgb, out.disp
         coarse, fine, sigma = _field_fns(params)
         out = render_rays_from_cfg(coarse, fine, rays_o, rays_d, key, cfg,
@@ -277,7 +302,7 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     use_pallas = _supports_pallas(cfg)
     n_mesh = _mesh_size(mesh)
     n_total = H * W
-    block = _pick_block(block_rays, cfg, n_mesh, n_total)
+    block = _pick_block(block_rays, n_mesh, n_total)
     n_padded = n_total + ((-n_total) % block)
     gen_rays = _make_ray_gen(cfg, H, W, K, n_padded)
 
@@ -293,10 +318,12 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
             # ray-major kernel: positions built in-kernel, no [3, P] plane
             from ..kernels.fused_mlp import fused_mlp_sigma_rays
             z_t = z_vals.T
+            tile, pm = _rays_tiling(m)
+            od, z_p = _pad_rays_z(_pack_od(rays_o, rays_d), z_t, pm)
             sigma_t = fused_mlp_sigma_rays(
-                _pack_od(rays_o, rays_d), z_t, params["packed_coarse"],
-                L_x=cfg.L_x, tile_rays=_tile_rays_for(m),
-                interpret=interpret, out_dtype=jnp.bfloat16)
+                od, z_p, params["packed_coarse"],
+                L_x=cfg.L_x, tile_rays=tile,
+                interpret=interpret, out_dtype=jnp.bfloat16)[:, :m]
             weights = weights_from_sigma_t(sigma_t, z_t, rays_d).T
             return z_vals, weights
         xp = (rays_o.T[:, :, None]
@@ -316,32 +343,27 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     def _fine_body(params, rays_o, rays_d, z_vals, weights, key):
         if use_rays:
             from ..kernels.fused_mlp import fused_mlp_eval_rays
+            m = rays_o.shape[0]
             z_all = hierarchical_z_vals(z_vals, weights, key,
                                         n_fine=n_fine, perturb=perturb)
             z_t = z_all.T
+            tile, pm = _rays_tiling(m)
+            od, z_p = _pad_rays_z(_pack_od(rays_o, rays_d), z_t, pm)
             r, g, b, sg = fused_mlp_eval_rays(
-                _pack_od(rays_o, rays_d), z_t, params["packed_fine"],
-                L_x=cfg.L_x, L_d=cfg.L_d,
-                tile_rays=_tile_rays_for(rays_o.shape[0]),
+                od, z_p, params["packed_fine"],
+                L_x=cfg.L_x, L_d=cfg.L_d, tile_rays=tile,
                 interpret=interpret, out_dtype=jnp.bfloat16)
-            out = volume_render_rays_t(r, g, b, sg, z_t, rays_d)
+            out = volume_render_rays_t(r[:, :m], g[:, :m], b[:, :m],
+                                       sg[:, :m], z_t, rays_d)
             return out.rgb, out.disp
         if use_pallas:
             _, fine_fn = make_pallas_field_fns(
                 params["packed_coarse"], params["packed_fine"], cfg)
         else:
             _, fine_fn = make_xla_field_fns(model, params, cfg)
-        z_all = hierarchical_z_vals(z_vals, weights, key, n_fine=n_fine,
-                                    perturb=perturb)
-        m, s_all = z_all.shape
-        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        xp = (rays_o.T[:, :, None]
-              + rays_d.T[:, :, None] * z_all[None]).reshape(3, -1)
-        dp = jnp.broadcast_to(viewdirs.T[:, :, None],
-                              (3, m, s_all)).reshape(3, -1)
-        from ..ops.volume import volume_render_planar
-        raw = fine_fn(xp, dp).reshape(4, m, s_all)
-        out = volume_render_planar(raw, z_all, rays_d)
+        out = hierarchical_fine_pass(fine_fn, rays_o, rays_d, z_vals,
+                                     weights, key, n_fine=n_fine,
+                                     perturb=perturb)
         return out.rgb, out.disp
 
     if n_mesh > 1:
