@@ -134,6 +134,10 @@ class NerfConfig:
     # eval kernel for rendering; auto-falls back to XLA for other shapes
     # and runs interpreted off-TPU
     use_pallas: bool = True
+    # ray-major custom-VJP training kernels (positions built in-kernel;
+    # ops/render.render_rays_train) — falls back to the plane-based train
+    # kernels when off or for unsupported shapes
+    use_rays_train: bool = True
     # occupancy-culled full-frame rendering (eval/frame.py): rays whose
     # COARSE occupancy (sum of compositing weights) is <= render_cull_tau
     # composite straight to the white background and skip the fine MLP.

@@ -209,3 +209,197 @@ def fused_mlp_train(packed: Dict, xplane: jnp.ndarray, dplane: jnp.ndarray,
     Pallas backward above. P must be a multiple of ``tile``."""
     return _make_fused_train(L_x, L_d, tile, interpret)(
         packed, xplane, dplane)
+
+
+# ---------------------------------------------------------------------------
+# Ray-major training pair: forward = fused_mlp_eval_rays (positions built
+# in-kernel from [8,N] rays + [S,N] depths, no [3,P] planes in HBM), and a
+# matching residual-free backward that recomputes per (ray-tile,
+# sample-row) and accumulates weight grads across the 2D grid.
+
+def _bwd_rays_kernel(L_x: int, L_d: int, cdt,
+                     od_ref, z_ref, gr_ref, gg_ref, gb_ref, gs_ref, *refs):
+    """One SAMPLE ROW of the ray-major backward per grid step (grid =
+    rays x samples).  An 8-row unrolled variant produced a Mosaic program
+    too large to compile in reasonable time; with one row the body
+    matches the proven plane-based _bwd_kernel size.  Mosaic requires
+    sublane block dims divisible by 8, so the sample inputs arrive as
+    8-row blocks (index_map j // 8 — constant across 8 consecutive inner
+    steps, so the block stays resident) and the current row j % 8 is
+    picked with a one-hot reduction.  Weight-grad outputs use constant
+    index maps and accumulate across the whole 2D grid, flushing to HBM
+    once at grid end."""
+    w_refs = dict(zip(_W_NAMES, refs[: len(_W_NAMES)]))
+    gr_out = dict(zip(_W_NAMES, refs[len(_W_NAMES):]))
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _init():
+        for name in _W_NAMES:
+            gr_out[name][:] = jnp.zeros_like(gr_out[name])
+
+    bf = cdt
+    w = {n: (w_refs[n][:].astype(bf) if n.startswith("w")
+             else w_refs[n][:]) for n in _W_NAMES}
+
+    o = od_ref[0:3, :].astype(jnp.float32)               # [3, Tr]
+    d = od_ref[3:6, :].astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.sum(d * d, axis=0, keepdims=True))
+    embd = _build_emb(d * inv, L_d, EMBD_ROWS, bf)
+    hv_dir = _dot(w["wvd"], embd) + w["bv"]              # [128, Tr] fp32
+
+    k = pl.program_id(1) % 8
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == k)
+
+    def row(ref):                                        # [8,Tr] -> [1,Tr]
+        return jnp.sum(jnp.where(sel, ref[:].astype(jnp.float32), 0.0),
+                       axis=0, keepdims=True)
+
+    t = o.shape[-1]
+    x = o + d * row(z_ref)
+    embx = _build_emb(x, L_x, EMBX_ROWS, bf)
+
+    # ---- forward recompute (post-relu activations kept) -----------------
+    hs = []
+    h = jax.nn.relu(_dot(w["w0"], embx) + w["b0"]).astype(bf)
+    hs.append(h)
+    for i in (1, 2, 3, 4):
+        h = jax.nn.relu(_dot(w[f"w{i}"], h) + w[f"b{i}"]).astype(bf)
+        hs.append(h)
+    h = jax.nn.relu(_dot(w["w5e"], embx) + _dot(w["w5h"], hs[4])
+                    + w["b5"]).astype(bf)
+    hs.append(h)
+    for i in (6, 7):
+        h = jax.nn.relu(_dot(w[f"w{i}"], h) + w[f"b{i}"]).astype(bf)
+        hs.append(h)
+    h7 = hs[7]
+    feat = (_dot(w["wfeat"], h7) + w["bfeat"]).astype(bf)
+    hv = jax.nn.relu(_dot(w["wvf"], feat) + hv_dir).astype(bf)
+
+    # ---- backward -------------------------------------------------------
+    g_rgb = jnp.concatenate(
+        [row(gr_ref), row(gg_ref), row(gb_ref),
+         jnp.zeros((5, t), jnp.float32)], 0).astype(bf)          # [8, T]
+    g_sig = jnp.concatenate(
+        [row(gs_ref), jnp.zeros((7, t), jnp.float32)],
+        0).astype(bf)                                            # [8, T]
+
+    gr_out["wcol"][:] += _dot_t(g_rgb, hv)
+    gr_out["bcol"][:] += jnp.sum(g_rgb.astype(jnp.float32), -1,
+                                 keepdims=True)
+    dhv = _dot_l(w["wcol"], g_rgb)
+    dhv = jnp.where(hv.astype(jnp.float32) > 0, dhv, 0.0).astype(bf)
+
+    gr_out["wvf"][:] += _dot_t(dhv, feat)
+    gr_out["wvd"][:] += _dot_t(dhv, embd)
+    gr_out["bv"][:] += jnp.sum(dhv.astype(jnp.float32), -1, keepdims=True)
+    dfeat = _dot_l(w["wvf"], dhv).astype(bf)
+
+    gr_out["wfeat"][:] += _dot_t(dfeat, h7)
+    gr_out["bfeat"][:] += jnp.sum(dfeat.astype(jnp.float32), -1,
+                                  keepdims=True)
+    dh = _dot_l(w["wfeat"], dfeat)
+
+    gr_out["wdens"][:] += _dot_t(g_sig, h7)
+    gr_out["bdens"][:] += jnp.sum(g_sig.astype(jnp.float32), -1,
+                                  keepdims=True)
+    dh = dh + _dot_l(w["wdens"], g_sig)
+
+    for i in (7, 6):
+        gi = jnp.where(hs[i].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
+        gr_out[f"w{i}"][:] += _dot_t(gi, hs[i - 1])
+        gr_out[f"b{i}"][:] += jnp.sum(gi.astype(jnp.float32), -1,
+                                      keepdims=True)
+        dh = _dot_l(w[f"w{i}"], gi)
+
+    g5 = jnp.where(hs[5].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
+    gr_out["w5e"][:] += _dot_t(g5, embx)
+    gr_out["w5h"][:] += _dot_t(g5, hs[4])
+    gr_out["b5"][:] += jnp.sum(g5.astype(jnp.float32), -1, keepdims=True)
+    dh = _dot_l(w["w5h"], g5)
+
+    for i in (4, 3, 2, 1):
+        gi = jnp.where(hs[i].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
+        gr_out[f"w{i}"][:] += _dot_t(gi, hs[i - 1])
+        gr_out[f"b{i}"][:] += jnp.sum(gi.astype(jnp.float32), -1,
+                                      keepdims=True)
+        dh = _dot_l(w[f"w{i}"], gi)
+
+    g0 = jnp.where(hs[0].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
+    gr_out["w0"][:] += _dot_t(g0, embx)
+    gr_out["b0"][:] += jnp.sum(g0.astype(jnp.float32), -1, keepdims=True)
+
+
+def _bwd_rays_call(od, z_t, gr, gg, gb, gs, packed: Dict, L_x: int,
+                   L_d: int, tile_rays: int,
+                   interpret: bool = False) -> Dict:
+    s, n = z_t.shape
+    assert n % tile_rays == 0, (n, tile_rays)
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    assert s % 8 == 0, s
+    sblk = pl.BlockSpec((8, tile_rays), lambda i, j: (j // 8, i),
+                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((8, tile_rays), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+        sblk, sblk, sblk, sblk, sblk,
+        *[const(packed[nme].shape) for nme in _W_NAMES],
+    ]
+    out_specs = tuple(const(packed[nme].shape) for nme in _W_NAMES)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(packed[nme].shape, jnp.float32)
+        for nme in _W_NAMES)
+
+    f32 = jnp.float32
+    grads = pl.pallas_call(
+        functools.partial(_bwd_rays_kernel, L_x, L_d,
+                          jnp.float32 if interpret else jnp.bfloat16),
+        grid_spec=pl.GridSpec(grid=(n // tile_rays, s),
+                              in_specs=in_specs, out_specs=out_specs),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(od, z_t, gr.astype(f32), gg.astype(f32), gb.astype(f32),
+      gs.astype(f32), *[packed[nme] for nme in _W_NAMES])
+    return dict(zip(_W_NAMES, grads))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_train_rays(L_x: int, L_d: int, tile_rays: int, s_rows: int,
+                           interpret: bool):
+    from .fused_mlp import fused_mlp_eval_rays
+
+    @jax.custom_vjp
+    def f(packed, od, z_t):
+        return fused_mlp_eval_rays(od, z_t, packed, L_x=L_x, L_d=L_d,
+                                   tile_rays=tile_rays, s_rows=s_rows,
+                                   interpret=interpret)
+
+    def fwd(packed, od, z_t):
+        return f(packed, od, z_t), (packed, od, z_t)
+
+    def bwd(res, gout):
+        packed, od, z_t = res
+        gr, gg, gb, gs = gout
+        dpacked = _bwd_rays_call(od, z_t, gr, gg, gb, gs, packed, L_x, L_d,
+                                 tile_rays, interpret)
+        dpacked = {nme: dpacked[nme].astype(packed[nme].dtype)
+                   for nme in _W_NAMES}
+        # no input grads: rays are data, z's are stop_gradient'ed (see the
+        # module docstring)
+        return dpacked, jnp.zeros_like(od), jnp.zeros_like(z_t)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_mlp_train_rays(packed: Dict, od: jnp.ndarray, z_t: jnp.ndarray,
+                         L_x: int = 10, L_d: int = 4, tile_rays: int = 1024,
+                         s_rows: int = 8, interpret: bool = False):
+    """Differentiable ray-major fused MLP: [8,N] rays + [S,N] depths ->
+    (r, g, b, sigma) each [S, N], with the Pallas backward above.
+    N % tile_rays == 0 and S % s_rows == 0."""
+    return _make_fused_train_rays(L_x, L_d, tile_rays, s_rows, interpret)(
+        packed, od, z_t)

@@ -143,6 +143,72 @@ def make_pallas_sigma_fn(packed_coarse, cfg, tile: int = 8192):
     return fn
 
 
+def _train_rays_tile(m: int):
+    """Ray-tile for the training kernels (None = unsupported shape).
+    2048 measured fastest for the fwd+bwd pair on v5e (1024: +7%,
+    4096: +6%)."""
+    if m <= 2048:
+        return m
+    if m % 2048 == 0:
+        return 2048
+    return 1024 if m % 1024 == 0 else None
+
+
+def supports_train_rays_kernels(cfg, n_rays: int) -> bool:
+    """Gate for the ray-major custom-VJP training path."""
+    s_merged = cfg.N_samples_c + cfg.N_samples_f
+    return (cfg.N_samples_c % 8 == 0
+            and (cfg.N_samples_f == 0 or s_merged % 8 == 0)
+            and _train_rays_tile(n_rays) is not None)
+
+
+def render_rays_train(params, rays_o, rays_d, key, cfg) -> "RaysRender":
+    """Training render on the ray-major custom-VJP kernel pair: positions
+    built in-kernel from [8,N] rays + [S,N] depths (no [3,P] plane buffers
+    anywhere), transposed composites, residual-free Pallas backward.
+
+    Numerically the same pipeline as render_rays with the plane-based
+    train kernels (reference nerf_process.py:185-213 semantics: full
+    coarse for loss_c, detached hierarchical fine resample, merged fine
+    pass); gradient parity is tested in tests/test_kernels_vjp.py.
+    """
+    from ..kernels.fused_mlp import pack_nerf_mlp_params
+    from ..kernels.fused_mlp_vjp import fused_mlp_train_rays
+    from .volume import volume_render_rays_t
+
+    interpret = _pallas_interpret()
+    n = rays_o.shape[0]
+    tile = _train_rays_tile(n)
+    assert tile is not None, n
+    key_c, key_f = jax.random.split(key)
+    packed_c = pack_nerf_mlp_params(params["coarse"], L_x=cfg.L_x,
+                                    L_d=cfg.L_d)
+    packed_f = pack_nerf_mlp_params(params["fine"], L_x=cfg.L_x,
+                                    L_d=cfg.L_d)
+    od = jnp.concatenate(
+        [rays_o.T, rays_d.T, jnp.zeros((2, n), rays_o.dtype)], 0)
+
+    z_vals = stratified_z_vals(key_c, n, float(cfg.near), float(cfg.far),
+                               cfg.N_samples_c, perturb=True)
+    r, g, b, sg = fused_mlp_train_rays(packed_c, od, z_vals.T,
+                                       L_x=cfg.L_x, L_d=cfg.L_d,
+                                       tile_rays=tile, interpret=interpret)
+    out_c = volume_render_rays_t(r, g, b, sg, z_vals.T, rays_d)
+    if cfg.N_samples_f <= 0:
+        return RaysRender(out_c.rgb, out_c.disp, None, None, None, None)
+
+    z_all = hierarchical_z_vals(z_vals, out_c.weights.T, key_f,
+                                n_fine=cfg.N_samples_f,
+                                perturb=float(cfg.perturb))
+    z_t = jax.lax.stop_gradient(z_all.T)
+    r, g, b, sg = fused_mlp_train_rays(packed_f, od, z_t,
+                                       L_x=cfg.L_x, L_d=cfg.L_d,
+                                       tile_rays=tile, interpret=interpret)
+    out_f = volume_render_rays_t(r, g, b, sg, z_t, rays_d)
+    return RaysRender(out_c.rgb, out_c.disp, out_f.rgb, out_f.disp,
+                      out_f.acc, out_f.depth)
+
+
 def hierarchical_z_vals(z_vals, weights, key, *, n_fine: int,
                         perturb: float = 1.0) -> jnp.ndarray:
     """Merged, sorted coarse+fine depths from the coarse sampling stats

@@ -43,12 +43,21 @@ def _supports_pallas_train(cfg) -> bool:
 
 def _loss_and_metrics(model, params, rays_o, rays_d, target, key, cfg,
                       force_xla: bool = False):
-    from ..ops.render import make_pallas_train_field_fns, make_xla_field_fns
-    if _supports_pallas_train(cfg) and not force_xla:
-        coarse, fine = make_pallas_train_field_fns(params, cfg)
+    from ..ops.render import (make_pallas_train_field_fns,
+                              make_xla_field_fns, render_rays_train,
+                              supports_train_rays_kernels)
+    use_pallas = _supports_pallas_train(cfg) and not force_xla
+    if (use_pallas and cfg.use_rays_train
+            and supports_train_rays_kernels(cfg, rays_o.shape[0])):
+        # ray-major custom-VJP kernels: positions built in-kernel, no
+        # [3,P] plane buffers (ops/render.render_rays_train)
+        out = render_rays_train(params, rays_o, rays_d, key, cfg)
     else:
-        coarse, fine = make_xla_field_fns(model, params, cfg)
-    out = render_rays_from_cfg(coarse, fine, rays_o, rays_d, key, cfg)
+        if use_pallas:
+            coarse, fine = make_pallas_train_field_fns(params, cfg)
+        else:
+            coarse, fine = make_xla_field_fns(model, params, cfg)
+        out = render_rays_from_cfg(coarse, fine, rays_o, rays_d, key, cfg)
     loss_c = jnp.mean((out.rgb_c - target) ** 2)
     if cfg.N_samples_f > 0:
         loss_f = jnp.mean((out.rgb_f - target) ** 2)
