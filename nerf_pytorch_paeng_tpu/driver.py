@@ -23,8 +23,9 @@ from .config import NerfConfig
 from .data import load_blender, load_custom, load_llff
 from .eval.render import run_render
 from .eval.test import run_test
-from .parallel import (batch_sharding, make_image_train_step_for_mesh,
-                       make_mesh, make_train_step_for_mesh, shard_params)
+from .parallel import (batch_sharding, commit_replicated,
+                       make_image_train_step_for_mesh, make_mesh,
+                       make_train_step_for_mesh, shard_params)
 from .parallel.mesh import maybe_initialize_distributed
 from .train import RayPool, build_ray_pool, create_train_state
 from .train.checkpoint import (restore_checkpoint, restore_params_only,
@@ -85,6 +86,9 @@ def main_worker(cfg: NerfConfig) -> None:
     params = shard_params(state.params, mesh, cfg.n_model_shards)
     opt_state = jax.jit(tx.init)(params)
     state = state._replace(params=params, opt_state=opt_state)
+    # commit every uncommitted leaf (see parallel.commit_replicated: an
+    # uncommitted first call costs a second multi-minute compile)
+    state = commit_replicated(state, mesh)
 
     # ---- standalone eval/render (testing_idx, no training) ---------------
     if cfg.eval_only or cfg.render_only:
@@ -113,10 +117,22 @@ def main_worker(cfg: NerfConfig) -> None:
     if cfg.global_batch:
         print(">> [global batch] building the all-image ray pool")
         key, sub = jax.random.split(key)
-        pool = build_ray_pool(images, K, extrinsics, i_train, sub)
+        pool = commit_replicated(
+            build_ray_pool(images, K, extrinsics, i_train, sub), mesh)
         ray_pool = RayPool(pool, jax.random.fold_in(key, 17))
-        step_fn = make_train_step_for_mesh(
+        step_raw = make_train_step_for_mesh(
             model, tx, cfg, mesh, H, W, float(K[0][0]))
+
+        # slice the batch from the device-resident pool INSIDE the jitted
+        # step: eager slicing + device_put cost ~10 tunnel dispatches
+        # (~20 ms each) per step on the remote backend
+        @jax.jit
+        def step_fn(state, pool, start, key):
+            batch = jax.lax.dynamic_slice_in_dim(pool, start, cfg.N_rays, 0)
+            o = jax.lax.with_sharding_constraint(batch[:, 0, :], bs)
+            d = jax.lax.with_sharding_constraint(batch[:, 1, :], bs)
+            rgb = jax.lax.with_sharding_constraint(batch[:, 2, :], bs)
+            return step_raw(state, o, d, rgb, key)
     else:
         print(">> per-image sampling mode (sharded over the mesh)")
         import functools
@@ -124,8 +140,9 @@ def main_worker(cfg: NerfConfig) -> None:
         ray_pool = None
         step_raw = make_image_train_step_for_mesh(model, tx, cfg, mesh,
                                                   H, W, K)
-        images_dev = jnp.asarray(images)
-        poses_dev = jnp.asarray(extrinsics)[:, :3, :4]
+        images_dev = commit_replicated(jnp.asarray(images), mesh)
+        poses_dev = commit_replicated(
+            jnp.asarray(extrinsics)[:, :3, :4], mesh)
 
         # index the image/pose INSIDE the jitted step: eager slicing costs
         # two ~20 ms tunnel dispatches per step on the remote backend
@@ -137,7 +154,7 @@ def main_worker(cfg: NerfConfig) -> None:
     # ---- 5. observability ------------------------------------------------
     logger = MetricLogger(cfg.logdir, cfg.exp_name)
     rng = np.random.default_rng(cfg.seed + 2)
-    step_key = jax.random.PRNGKey(cfg.seed + 3)
+    step_key = commit_replicated(jax.random.PRNGKey(cfg.seed + 3), mesh)
 
     # ---- 6. the loop (reference main.py:124-161) -------------------------
     profile_dir = os.path.join(cfg.logdir, cfg.exp_name, "profile")
@@ -154,11 +171,8 @@ def main_worker(cfg: NerfConfig) -> None:
             except Exception:
                 pass
         if cfg.global_batch:
-            o, d, rgb = ray_pool.next_batch(cfg.N_rays)
-            o = jax.device_put(o, bs)
-            d = jax.device_put(d, bs)
-            rgb = jax.device_put(rgb, bs)
-            state, metrics = step_fn(state, o, d, rgb, step_key)
+            start = ray_pool.next_start(cfg.N_rays)
+            state, metrics = step_fn(state, ray_pool.pool, start, step_key)
         else:
             i_img = int(rng.choice(i_train))
             state, metrics = step_fn(

@@ -90,6 +90,26 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
 
 
+def commit_replicated(tree: Any, mesh: Mesh) -> Any:
+    """device_put every leaf that has no committed sharding onto the mesh,
+    replicated; committed leaves (TP-sharded params, jit outputs) are left
+    untouched.
+
+    Why: a jitted step called with UNcommitted inputs compiles once for
+    Unspecified shardings, then its committed outputs feed the next call
+    and force a SECOND compile of the identical program — on the remote
+    backend a multi-minute stall mid-training loop.  Committing everything
+    up front makes the first call's signature match steady state."""
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        if isinstance(x, jax.Array) and x.committed:
+            return x
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Rays/pixels shard their leading axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -50,12 +50,23 @@ class RayPool:
         self.epoch = 0
 
     def next_batch(self, n: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        start = self.next_start(n)
+        batch = jax.lax.dynamic_slice_in_dim(self.pool, start, n, 0)
+        return batch[:, 0, :], batch[:, 1, :], batch[:, 2, :]
+
+    def next_start(self, n: int) -> int:
+        """Advance the cursor and return the batch start offset.
+
+        Host-side integer bookkeeping only — the caller slices the
+        (device-resident) pool INSIDE its jitted step, so a training step
+        costs one dispatch instead of ~10 eager ops (each a ~20 ms tunnel
+        round-trip on the remote backend; see driver.py)."""
         if self.i_batch + n > self.pool.shape[0]:
             self.key, sub = jax.random.split(self.key)
             perm = jax.random.permutation(sub, self.pool.shape[0])
             self.pool = self.pool[perm]
             self.i_batch = 0
             self.epoch += 1
-        batch = jax.lax.dynamic_slice_in_dim(self.pool, self.i_batch, n, 0)
+        start = self.i_batch
         self.i_batch += n
-        return batch[:, 0, :], batch[:, 1, :], batch[:, 2, :]
+        return start
