@@ -105,8 +105,9 @@ def main_worker(cfg: NerfConfig) -> None:
 
     # ---- 3. resume -------------------------------------------------------
     if cfg.iter_start != 0:
-        state = restore_checkpoint(cfg.logdir, cfg.exp_name, cfg.iter_start,
-                                   state)
+        state = commit_replicated(
+            restore_checkpoint(cfg.logdir, cfg.exp_name, cfg.iter_start,
+                               state), mesh)
         print(f">> resumed from iter {int(state.step)}")
     else:
         print(">> training from scratch")
@@ -114,6 +115,8 @@ def main_worker(cfg: NerfConfig) -> None:
     # ---- 4. batching -----------------------------------------------------
     key = jax.random.PRNGKey(cfg.seed + 1)
     bs = batch_sharding(mesh)
+    import functools
+
     if cfg.global_batch:
         print(">> [global batch] building the all-image ray pool")
         key, sub = jax.random.split(key)
@@ -126,7 +129,7 @@ def main_worker(cfg: NerfConfig) -> None:
         # slice the batch from the device-resident pool INSIDE the jitted
         # step: eager slicing + device_put cost ~10 tunnel dispatches
         # (~20 ms each) per step on the remote backend
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def step_fn(state, pool, start, key):
             batch = jax.lax.dynamic_slice_in_dim(pool, start, cfg.N_rays, 0)
             o = jax.lax.with_sharding_constraint(batch[:, 0, :], bs)
@@ -135,8 +138,6 @@ def main_worker(cfg: NerfConfig) -> None:
             return step_raw(state, o, d, rgb, key)
     else:
         print(">> per-image sampling mode (sharded over the mesh)")
-        import functools
-
         ray_pool = None
         step_raw = make_image_train_step_for_mesh(model, tx, cfg, mesh,
                                                   H, W, K)
@@ -146,7 +147,8 @@ def main_worker(cfg: NerfConfig) -> None:
 
         # index the image/pose INSIDE the jitted step: eager slicing costs
         # two ~20 ms tunnel dispatches per step on the remote backend
-        @functools.partial(jax.jit, static_argnames=("precrop",))
+        @functools.partial(jax.jit, static_argnames=("precrop",),
+                           donate_argnums=(0,))
         def step_fn(state, i_img, key, precrop=False):
             return step_raw(state, images_dev[i_img], poses_dev[i_img],
                             key, precrop=precrop)

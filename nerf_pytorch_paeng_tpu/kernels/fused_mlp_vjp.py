@@ -51,6 +51,74 @@ def _dot_l(w, g):  # W^T @ g: [O, I]^T [O, T] -> [I, T]
                                preferred_element_type=jnp.float32)
 
 
+def _recompute_and_backprop(w, embx, embd, hv_dir, g_rgb, g_sig, gr, bf):
+    """Shared core of both backward kernels: recompute the forward
+    (keeping post-relu activations in VMEM) and chain the cotangents back
+    to every weight/bias gradient ref.
+
+    ``hv_dir`` is the direction-branch pre-activation contribution
+    ``Wvd·embd + bv`` (per-ray-constant, so the ray-major kernel hoists it
+    out of the sample loop).  relu' masks compare in fp32 — Mosaic rejects
+    packed-bf16 cmpf."""
+    # ---- forward recompute ----------------------------------------------
+    hs = []
+    h = jax.nn.relu(_dot(w["w0"], embx) + w["b0"]).astype(bf)
+    hs.append(h)
+    for i in (1, 2, 3, 4):
+        h = jax.nn.relu(_dot(w[f"w{i}"], h) + w[f"b{i}"]).astype(bf)
+        hs.append(h)
+    h = jax.nn.relu(_dot(w["w5e"], embx) + _dot(w["w5h"], hs[4])
+                    + w["b5"]).astype(bf)
+    hs.append(h)
+    for i in (6, 7):
+        h = jax.nn.relu(_dot(w[f"w{i}"], h) + w[f"b{i}"]).astype(bf)
+        hs.append(h)
+    h7 = hs[7]
+    feat = (_dot(w["wfeat"], h7) + w["bfeat"]).astype(bf)
+    hv = jax.nn.relu(_dot(w["wvf"], feat) + hv_dir).astype(bf)
+
+    # ---- backward --------------------------------------------------------
+    gr["wcol"][:] += _dot_t(g_rgb, hv)
+    gr["bcol"][:] += jnp.sum(g_rgb.astype(jnp.float32), -1, keepdims=True)
+    dhv = _dot_l(w["wcol"], g_rgb)
+    dhv = jnp.where(hv.astype(jnp.float32) > 0, dhv, 0.0).astype(bf)
+
+    gr["wvf"][:] += _dot_t(dhv, feat)
+    gr["wvd"][:] += _dot_t(dhv, embd)
+    gr["bv"][:] += jnp.sum(dhv.astype(jnp.float32), -1, keepdims=True)
+    dfeat = _dot_l(w["wvf"], dhv).astype(bf)
+
+    gr["wfeat"][:] += _dot_t(dfeat, h7)
+    gr["bfeat"][:] += jnp.sum(dfeat.astype(jnp.float32), -1, keepdims=True)
+    dh = _dot_l(w["wfeat"], dfeat)
+
+    gr["wdens"][:] += _dot_t(g_sig, h7)
+    gr["bdens"][:] += jnp.sum(g_sig.astype(jnp.float32), -1, keepdims=True)
+    dh = dh + _dot_l(w["wdens"], g_sig)
+
+    for i in (7, 6):
+        gi = jnp.where(hs[i].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
+        gr[f"w{i}"][:] += _dot_t(gi, hs[i - 1])
+        gr[f"b{i}"][:] += jnp.sum(gi.astype(jnp.float32), -1, keepdims=True)
+        dh = _dot_l(w[f"w{i}"], gi)
+
+    g5 = jnp.where(hs[5].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
+    gr["w5e"][:] += _dot_t(g5, embx)
+    gr["w5h"][:] += _dot_t(g5, hs[4])
+    gr["b5"][:] += jnp.sum(g5.astype(jnp.float32), -1, keepdims=True)
+    dh = _dot_l(w["w5h"], g5)
+
+    for i in (4, 3, 2, 1):
+        gi = jnp.where(hs[i].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
+        gr[f"w{i}"][:] += _dot_t(gi, hs[i - 1])
+        gr[f"b{i}"][:] += jnp.sum(gi.astype(jnp.float32), -1, keepdims=True)
+        dh = _dot_l(w[f"w{i}"], gi)
+
+    g0 = jnp.where(hs[0].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
+    gr["w0"][:] += _dot_t(g0, embx)
+    gr["b0"][:] += jnp.sum(g0.astype(jnp.float32), -1, keepdims=True)
+
+
 def _bwd_kernel(L_x: int, L_d: int, cdt, xp_ref, dp_ref, g_ref, *refs):
     w_refs = dict(zip(_W_NAMES, refs[: len(_W_NAMES)]))
     gr = dict(zip(_W_NAMES, refs[len(_W_NAMES):]))
@@ -66,80 +134,15 @@ def _bwd_kernel(L_x: int, L_d: int, cdt, xp_ref, dp_ref, g_ref, *refs):
              else w_refs[n][:]) for n in _W_NAMES}
     embx = _build_emb(xp_ref[:].astype(jnp.float32), L_x, EMBX_ROWS, bf)
     embd = _build_emb(dp_ref[:].astype(jnp.float32), L_d, EMBD_ROWS, bf)
+    hv_dir = _dot(w["wvd"], embd) + w["bv"]
 
-    # ---- forward recompute, keeping post-relu activations --------------
-    hs = []
-    h = jax.nn.relu(_dot(w["w0"], embx) + w["b0"]).astype(bf)
-    hs.append(h)
-    for i in (1, 2, 3, 4):
-        h = jax.nn.relu(_dot(w[f"w{i}"], h) + w[f"b{i}"]).astype(bf)
-        hs.append(h)
-    h = jax.nn.relu(_dot(w["w5e"], embx) + _dot(w["w5h"], hs[4])
-                    + w["b5"]).astype(bf)
-    hs.append(h)
-    for i in (6, 7):
-        h = jax.nn.relu(_dot(w[f"w{i}"], h) + w[f"b{i}"]).astype(bf)
-        hs.append(h)
-    h7 = hs[7]
-    feat = (_dot(w["wfeat"], h7) + w["bfeat"]).astype(bf)
-    hv = jax.nn.relu(_dot(w["wvf"], feat) + _dot(w["wvd"], embd)
-                     + w["bv"]).astype(bf)
-
-    # ---- backward --------------------------------------------------------
     g = g_ref[:]                                   # [8, T] fp32 (4 used)
     t = g.shape[-1]
-    zero5 = jnp.zeros((5, t), jnp.float32)
-    g_rgb = jnp.concatenate([g[0:3, :], zero5], 0).astype(bf)   # [8, T]
+    g_rgb = jnp.concatenate([g[0:3, :], jnp.zeros((5, t), jnp.float32)],
+                            0).astype(bf)                        # [8, T]
     g_sig = jnp.concatenate([g[3:4, :], jnp.zeros((7, t), jnp.float32)],
                             0).astype(bf)                        # [8, T]
-
-    # color head: rgb = Wcol hv + bcol
-    gr["wcol"][:] += _dot_t(g_rgb, hv)
-    gr["bcol"][:] += jnp.sum(g_rgb.astype(jnp.float32), -1, keepdims=True)
-    dhv = _dot_l(w["wcol"], g_rgb)
-    dhv = jnp.where(hv.astype(jnp.float32) > 0, dhv, 0.0).astype(bf)  # relu' (compare in fp32: Mosaic rejects packed-bf16 cmpf)
-
-    # view branch: hv = relu(Wvf feat + Wvd embd + bv)
-    gr["wvf"][:] += _dot_t(dhv, feat)
-    gr["wvd"][:] += _dot_t(dhv, embd)
-    gr["bv"][:] += jnp.sum(dhv.astype(jnp.float32), -1, keepdims=True)
-    dfeat = _dot_l(w["wvf"], dhv).astype(bf)
-
-    # feature head (linear): feat = Wfeat h7 + bfeat
-    gr["wfeat"][:] += _dot_t(dfeat, h7)
-    gr["bfeat"][:] += jnp.sum(dfeat.astype(jnp.float32), -1, keepdims=True)
-    dh = _dot_l(w["wfeat"], dfeat)
-
-    # density head: sigma = Wdens h7 + bdens
-    gr["wdens"][:] += _dot_t(g_sig, h7)
-    gr["bdens"][:] += jnp.sum(g_sig.astype(jnp.float32), -1, keepdims=True)
-    dh = dh + _dot_l(w["wdens"], g_sig)
-
-    # trunk 7, 6
-    for i in (7, 6):
-        gi = jnp.where(hs[i].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
-        gr[f"w{i}"][:] += _dot_t(gi, hs[i - 1])
-        gr[f"b{i}"][:] += jnp.sum(gi.astype(jnp.float32), -1, keepdims=True)
-        dh = _dot_l(w[f"w{i}"], gi)
-
-    # trunk 5 (skip: inputs embx and h4)
-    g5 = jnp.where(hs[5].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
-    gr["w5e"][:] += _dot_t(g5, embx)
-    gr["w5h"][:] += _dot_t(g5, hs[4])
-    gr["b5"][:] += jnp.sum(g5.astype(jnp.float32), -1, keepdims=True)
-    dh = _dot_l(w["w5h"], g5)
-
-    # trunk 4..1
-    for i in (4, 3, 2, 1):
-        gi = jnp.where(hs[i].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
-        gr[f"w{i}"][:] += _dot_t(gi, hs[i - 1])
-        gr[f"b{i}"][:] += jnp.sum(gi.astype(jnp.float32), -1, keepdims=True)
-        dh = _dot_l(w[f"w{i}"], gi)
-
-    # trunk 0 (input = embx; no dx needed)
-    g0 = jnp.where(hs[0].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
-    gr["w0"][:] += _dot_t(g0, embx)
-    gr["b0"][:] += jnp.sum(g0.astype(jnp.float32), -1, keepdims=True)
+    _recompute_and_backprop(w, embx, embd, hv_dir, g_rgb, g_sig, gr, bf)
 
 
 def _bwd_call(xplane, dplane, g, packed: Dict, L_x: int, L_d: int,
@@ -257,76 +260,13 @@ def _bwd_rays_kernel(L_x: int, L_d: int, cdt,
     t = o.shape[-1]
     x = o + d * row(z_ref)
     embx = _build_emb(x, L_x, EMBX_ROWS, bf)
-
-    # ---- forward recompute (post-relu activations kept) -----------------
-    hs = []
-    h = jax.nn.relu(_dot(w["w0"], embx) + w["b0"]).astype(bf)
-    hs.append(h)
-    for i in (1, 2, 3, 4):
-        h = jax.nn.relu(_dot(w[f"w{i}"], h) + w[f"b{i}"]).astype(bf)
-        hs.append(h)
-    h = jax.nn.relu(_dot(w["w5e"], embx) + _dot(w["w5h"], hs[4])
-                    + w["b5"]).astype(bf)
-    hs.append(h)
-    for i in (6, 7):
-        h = jax.nn.relu(_dot(w[f"w{i}"], h) + w[f"b{i}"]).astype(bf)
-        hs.append(h)
-    h7 = hs[7]
-    feat = (_dot(w["wfeat"], h7) + w["bfeat"]).astype(bf)
-    hv = jax.nn.relu(_dot(w["wvf"], feat) + hv_dir).astype(bf)
-
-    # ---- backward -------------------------------------------------------
     g_rgb = jnp.concatenate(
         [row(gr_ref), row(gg_ref), row(gb_ref),
          jnp.zeros((5, t), jnp.float32)], 0).astype(bf)          # [8, T]
     g_sig = jnp.concatenate(
         [row(gs_ref), jnp.zeros((7, t), jnp.float32)],
         0).astype(bf)                                            # [8, T]
-
-    gr_out["wcol"][:] += _dot_t(g_rgb, hv)
-    gr_out["bcol"][:] += jnp.sum(g_rgb.astype(jnp.float32), -1,
-                                 keepdims=True)
-    dhv = _dot_l(w["wcol"], g_rgb)
-    dhv = jnp.where(hv.astype(jnp.float32) > 0, dhv, 0.0).astype(bf)
-
-    gr_out["wvf"][:] += _dot_t(dhv, feat)
-    gr_out["wvd"][:] += _dot_t(dhv, embd)
-    gr_out["bv"][:] += jnp.sum(dhv.astype(jnp.float32), -1, keepdims=True)
-    dfeat = _dot_l(w["wvf"], dhv).astype(bf)
-
-    gr_out["wfeat"][:] += _dot_t(dfeat, h7)
-    gr_out["bfeat"][:] += jnp.sum(dfeat.astype(jnp.float32), -1,
-                                  keepdims=True)
-    dh = _dot_l(w["wfeat"], dfeat)
-
-    gr_out["wdens"][:] += _dot_t(g_sig, h7)
-    gr_out["bdens"][:] += jnp.sum(g_sig.astype(jnp.float32), -1,
-                                  keepdims=True)
-    dh = dh + _dot_l(w["wdens"], g_sig)
-
-    for i in (7, 6):
-        gi = jnp.where(hs[i].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
-        gr_out[f"w{i}"][:] += _dot_t(gi, hs[i - 1])
-        gr_out[f"b{i}"][:] += jnp.sum(gi.astype(jnp.float32), -1,
-                                      keepdims=True)
-        dh = _dot_l(w[f"w{i}"], gi)
-
-    g5 = jnp.where(hs[5].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
-    gr_out["w5e"][:] += _dot_t(g5, embx)
-    gr_out["w5h"][:] += _dot_t(g5, hs[4])
-    gr_out["b5"][:] += jnp.sum(g5.astype(jnp.float32), -1, keepdims=True)
-    dh = _dot_l(w["w5h"], g5)
-
-    for i in (4, 3, 2, 1):
-        gi = jnp.where(hs[i].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
-        gr_out[f"w{i}"][:] += _dot_t(gi, hs[i - 1])
-        gr_out[f"b{i}"][:] += jnp.sum(gi.astype(jnp.float32), -1,
-                                      keepdims=True)
-        dh = _dot_l(w[f"w{i}"], gi)
-
-    g0 = jnp.where(hs[0].astype(jnp.float32) > 0, dh, 0.0).astype(bf)
-    gr_out["w0"][:] += _dot_t(g0, embx)
-    gr_out["b0"][:] += jnp.sum(g0.astype(jnp.float32), -1, keepdims=True)
+    _recompute_and_backprop(w, embx, embd, hv_dir, g_rgb, g_sig, gr_out, bf)
 
 
 def _bwd_rays_call(od, z_t, gr, gg, gb, gs, packed: Dict, L_x: int,

@@ -144,14 +144,17 @@ def make_pallas_sigma_fn(packed_coarse, cfg, tile: int = 8192):
 
 
 def _train_rays_tile(m: int):
-    """Ray-tile for the training kernels (None = unsupported shape).
-    2048 measured fastest for the fwd+bwd pair on v5e (1024: +7%,
-    4096: +6%)."""
-    if m <= 2048:
-        return m
-    if m % 2048 == 0:
-        return 2048
-    return 1024 if m % 1024 == 0 else None
+    """Ray-tile for the training kernels (None = unsupported shape,
+    falling back to the plane-based path).  Lane-aligned: the tile must
+    be a multiple of 128 lanes (Mosaic block alignment) and divide the
+    ray count.  2048 measured fastest for the fwd+bwd pair on v5e
+    (1024: +7%, 4096: +6%)."""
+    if m % 128 != 0:
+        return None
+    for tile in (2048, 1024, 512, 256, 128):
+        if m % tile == 0:
+            return min(tile, m)
+    return None
 
 
 def supports_train_rays_kernels(cfg, n_rays: int) -> bool:

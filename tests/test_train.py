@@ -94,6 +94,41 @@ def test_train_step_is_deterministic_given_key():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_rays_train_path_matches_plane_path():
+    """Integration test for the ray-major training pipeline
+    (ops/render.render_rays_train): with reference-architecture shapes
+    whose sample counts divide 8 it is the production default, and with
+    identical RNG it must agree with the plane-based kernel path."""
+    import dataclasses
+
+    cfg = NerfConfig(netDepth=8, netWidth=256, L_x=10, L_d=4, N_rays=128,
+                     N_samples_c=8, N_samples_f=8, near=2.0, far=6.0,
+                     iter_N=100, iter_warmup=5, use_pallas=True)
+    from nerf_pytorch_paeng_tpu.ops.render import supports_train_rays_kernels
+    assert supports_train_rays_kernels(cfg, cfg.N_rays)
+
+    imgs, K, poses = make_synth_scene(n_views=2, H=16, W=16)
+    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    pool = build_ray_pool(imgs, K, poses, np.arange(2), jax.random.PRNGKey(1))
+    o, d, rgb = RayPool(pool, jax.random.PRNGKey(2)).next_batch(cfg.N_rays)
+    key = jax.random.PRNGKey(7)
+
+    step_rays = jax.jit(make_train_step(model, tx, cfg))
+    cfg_plane = dataclasses.replace(cfg, use_rays_train=False)
+    step_plane = jax.jit(make_train_step(model, tx, cfg_plane))
+
+    s1, m1 = step_rays(state, o, d, rgb, key)
+    s2, m2 = step_plane(state, o, d, rgb, key)
+    # same RNG stream (key_c/key_f split is shared), interpret-mode fp32
+    # kernels on both sides -> losses agree to fp32 association noise
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=2e-4)
+
+
 def test_gradients_flow_to_both_mlps():
     cfg = tiny_cfg()
     imgs, K, poses = make_synth_scene(n_views=2, H=8, W=8)
