@@ -22,6 +22,15 @@ repetition, timed over several repetitions after a warmup/compile run.
 Dispatch latency overlaps execution, so this measures device throughput.
 The scanned variant runs n_inner steps inside one lax.scan program
 (train/step.make_scanned_train_step) — zero dispatches between updates.
+
+n_steps per sync matters on this backend: the device runs steps
+back-to-back (an xplane trace shows 29.55 ms step spans with <0.1 ms of
+internal gaps and zero inter-step gap), but the one hard sync costs
+~25 ms of tunnel latency.  At n_steps=15 that inflated the reported
+per-step time by ~1.7 ms (round-2's 31.5 ms vs the traced 29.55); at
+n_steps=60 the artifact is bounded by ~0.4 ms.  Training runs sync only
+at logging points (idx_print=1000), so the amortised number is the one
+a real run sustains.
 """
 from __future__ import annotations
 
@@ -56,7 +65,7 @@ def _sync(x):
     return float(jnp.asarray(x).ravel()[0])
 
 
-def bench_train(n_steps: int = 15, reps: int = 3, use_pallas: bool = True):
+def bench_train(n_steps: int = 60, reps: int = 3, use_pallas: bool = True):
     from nerf_pytorch_paeng_tpu.config import NerfConfig
     from nerf_pytorch_paeng_tpu.train import (create_train_state,
                                               make_scanned_train_step,

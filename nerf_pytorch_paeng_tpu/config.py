@@ -83,11 +83,13 @@ class NerfConfig:
     N_rays: int = 4096
     N_samples_c: int = 64
     N_samples_f: int = 128
-    # reference host-chunk knob (nerf_process.py:236); consumed by
-    # ops/render.render_frame.  The production frame renderer
-    # (eval/frame.py) auto-picks large ray blocks instead — pass
-    # block_rays there to override.
-    chunk_rays: int = 4096
+    # reference host-chunk knob (nerf_process.py:236; reference default
+    # 4096).  0 (our default) = auto: the production frame renderer
+    # (eval/frame.py) picks large ray blocks for dispatch economics and
+    # ops/render.render_frame falls back to 4096.  A user-set value > 0 is
+    # honored everywhere as the ray-block size (reference semantics —
+    # small values cost dispatches on the remote TPU backend).
+    chunk_rays: int = 0
     # in-program MLP point-chunk (compiled lax.map; reference default is
     # 524288 but >=512k-row bf16 backward matmuls trip a TPU backend
     # regalloc bug, so we default one notch lower)
@@ -149,6 +151,14 @@ class NerfConfig:
     # or deliberately mismatched coarse/fine networks.
     render_cull: str = "auto"
     render_cull_tau: float = 1e-3
+    # sample-axis (SP/context-parallel analog) sharding for full-frame
+    # rendering: split each ray's sample axis over the mesh 'model' axis
+    # with the distributed log-space transmittance scan (parallel/sp.py).
+    # 0/1 = off.  Requires n_model_shards == sp_shards and sample counts
+    # divisible by it; the frame renderer routes its composite through
+    # composite_sample_sharded when set.  A capability at the reference's
+    # 64+128 samples; real headroom at thousands of samples per ray.
+    sp_shards: int = 0
     log_dir: str = ""             # defaults to <repo>/logs
     profile: bool = False         # emit a jax.profiler trace of a few steps
     check_nans: bool = False      # enable jax_debug_nans (debugging)

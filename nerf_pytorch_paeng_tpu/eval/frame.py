@@ -36,6 +36,7 @@ a trained scene).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -144,7 +145,17 @@ def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     ``cfg.render_cull == "auto"`` (default) routes to the occupancy-culled
     two-phase renderer (see module docstring); "none" renders every ray
     densely through coarse+fine.
+
+    Ray-block precedence: explicit ``block_rays`` arg > user-set
+    ``cfg.chunk_rays`` (reference knob, nerf_process.py:236; 0 = auto) >
+    the auto-picked dispatch-economic block (_pick_block).
     """
+    if block_rays is None and getattr(cfg, "chunk_rays", 0):
+        block_rays = cfg.chunk_rays
+    if getattr(cfg, "sp_shards", 0) > 1:
+        return _make_sp_frame_renderer(model, cfg, H, W, K, mesh=mesh,
+                                       block_rays=block_rays,
+                                       stratified=stratified)
     if getattr(cfg, "render_cull", "none") == "auto" and cfg.N_samples_f > 0:
         return _make_culled_frame_renderer(model, cfg, H, W, K, mesh=mesh,
                                            block_rays=block_rays,
@@ -152,6 +163,47 @@ def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     return _make_dense_frame_renderer(model, cfg, H, W, K, mesh=mesh,
                                       block_rays=block_rays,
                                       stratified=stratified)
+
+
+# -- compiled-renderer cache -------------------------------------------------
+# The training loop's periodic test/render hooks (driver.py) and repeated
+# run_test/run_render calls would otherwise build fresh jit closures each
+# time — on the remote backend that is a 20-60 s recompile per program per
+# hook.  Renderers are pure functions of (cfg scalars, H, W, K, mesh,
+# block_rays, stratified): the model argument only supplies `apply`, which
+# is itself determined by cfg (netDepth/netWidth/L_x/L_d), so it is safe to
+# leave it out of the key.
+_RENDERER_CACHE: dict = {}
+
+
+def _mesh_cache_key(mesh):
+    if mesh is None:
+        return None
+    return (tuple(mesh.axis_names), tuple(dict(mesh.shape).items()),
+            tuple(d.id for d in mesh.devices.flat))
+
+
+def _cfg_cache_key(cfg):
+    return tuple(sorted(
+        (k, v) for k, v in dataclasses.asdict(cfg).items()
+        if isinstance(v, (bool, int, float, str, type(None)))))
+
+
+def get_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
+                       mesh: Optional[object] = None,
+                       block_rays: Optional[int] = None,
+                       stratified: bool = True):
+    """make_frame_renderer with caching across calls (same signature)."""
+    ck = (_cfg_cache_key(cfg), int(H), int(W),
+          np.asarray(K, np.float64).tobytes(), _mesh_cache_key(mesh),
+          block_rays, stratified)
+    renderer = _RENDERER_CACHE.get(ck)
+    if renderer is None:
+        renderer = make_frame_renderer(model, cfg, H, W, K, mesh=mesh,
+                                       block_rays=block_rays,
+                                       stratified=stratified)
+        _RENDERER_CACHE[ck] = renderer
+    return renderer
 
 
 def _make_ray_gen(cfg, H, W, K, n_padded: int):
@@ -180,10 +232,10 @@ def _make_ray_gen(cfg, H, W, K, n_padded: int):
 
 def _pick_block(block_rays, n_mesh: int, n_padded_hint: int,
                 default: int = _DEFAULT_BLOCK) -> int:
-    """Ray-block size for the frame programs.  Auto-picked (NOT
-    cfg.chunk_rays, which keeps the reference's host-chunk semantics for
-    ops/render.render_frame): on this backend small blocks mean many
-    dispatches, and kernels tile internally, so big blocks are free."""
+    """Ray-block size for the frame programs when no override is given
+    (make_frame_renderer routes a user-set cfg.chunk_rays in as
+    block_rays): on this backend small blocks mean many dispatches, and
+    kernels tile internally, so big blocks are free."""
     block = block_rays or min(default, n_padded_hint)
     block = max(n_mesh, block - block % n_mesh) if n_mesh > 1 else block
     return block
@@ -280,6 +332,120 @@ def _make_dense_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         n_blocks = n_padded // block
         outs = [render_block(params, c2w, i * block, key)
                 for i in range(n_blocks)]          # pipelined dispatches
+        return _finalize([o[0] for o in outs], [o[1] for o in outs])
+
+    if not use_pallas:
+        return _render
+
+    def render_with_packing(params, c2w, key):
+        return _render(_pack_for_eval(params, cfg), c2w, key)
+
+    return render_with_packing
+
+
+def _make_sp_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
+                            mesh=None, block_rays=None,
+                            stratified: bool = True):
+    """Full-frame renderer with the SAMPLE axis sharded over the mesh
+    'model' axis (``cfg.sp_shards``) — the SP/context-parallel analog wired
+    into the production surface (round-2 VERDICT item 7).
+
+    Per ray block: stratified coarse depths are built replicated, then a
+    shard_map splits rays over 'data' (if present) x samples over 'model';
+    each shard runs the field MLP only on its sample slice and the
+    distributed log-space transmittance scan (parallel/sp.py) stitches the
+    composite.  The hierarchical fine pass is included: coarse weights are
+    all_gathered per ray (S_c floats), the inverse-CDF resample runs
+    replicated, and the merged depths re-shard for the fine MLP.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from ..parallel.sp import composite_sample_sharded
+
+    n_sp = int(cfg.sp_shards)
+    assert mesh is not None and MODEL_AXIS in mesh.axis_names, (
+        "sp_shards needs a mesh with a 'model' axis; set n_model_shards")
+    assert dict(mesh.shape)[MODEL_AXIS] == n_sp, (dict(mesh.shape), n_sp)
+    n_coarse, n_fine = cfg.N_samples_c, cfg.N_samples_f
+    assert n_coarse % n_sp == 0, (n_coarse, n_sp)
+    assert (n_coarse + n_fine) % n_sp == 0, (n_coarse, n_fine, n_sp)
+    n_data = dict(mesh.shape).get(DATA_AXIS, 1)
+    near, far = float(cfg.near), float(cfg.far)
+    perturb = float(cfg.perturb)
+    use_pallas = _supports_pallas(cfg)
+    n_total = H * W
+    block = _pick_block(block_rays, n_data, n_total)
+    n_padded = n_total + ((-n_total) % block)
+    gen_rays = _make_ray_gen(cfg, H, W, K, n_padded)
+
+    def _field_fns(params):
+        if use_pallas:
+            return make_pallas_field_fns(
+                params["packed_coarse"], params["packed_fine"], cfg)
+        return make_xla_field_fns(model, params, cfg)
+
+    def _sp_body(params, rays_o, rays_d, z_local, key):
+        from ..ops.render import hierarchical_z_vals
+        coarse_fn, fine_fn = _field_fns(params)
+        idx = jax.lax.axis_index(MODEL_AXIS)
+        m = rays_o.shape[0]
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+        def field_planes(fn, z):
+            s = z.shape[-1]
+            xp = (rays_o.T[:, :, None]
+                  + rays_d.T[:, :, None] * z[None]).reshape(3, -1)
+            dp = jnp.broadcast_to(viewdirs.T[:, :, None],
+                                  (3, m, s)).reshape(3, -1)
+            return fn(xp, dp).reshape(4, m, s)
+
+        out_c = composite_sample_sharded(
+            field_planes(coarse_fn, z_local), z_local, rays_d, MODEL_AXIS)
+        if n_fine <= 0:
+            return out_c.rgb, out_c.disp
+        w_full = jax.lax.all_gather(out_c.weights, MODEL_AXIS,
+                                    axis=-1, tiled=True)
+        z_full = jax.lax.all_gather(z_local, MODEL_AXIS,
+                                    axis=-1, tiled=True)
+        z_all = hierarchical_z_vals(z_full, w_full, key,
+                                    n_fine=n_fine, perturb=perturb)
+        s_loc = z_all.shape[-1] // jax.lax.axis_size(MODEL_AXIS)
+        z_f_local = jax.lax.dynamic_slice_in_dim(
+            z_all, idx * s_loc, s_loc, axis=-1)
+        out_f = composite_sample_sharded(
+            field_planes(fine_fn, z_f_local), z_f_local, rays_d, MODEL_AXIS)
+        return out_f.rgb, out_f.disp
+
+    ray_spec = P(DATA_AXIS) if n_data > 1 else P()
+    z_spec = (P(DATA_AXIS, MODEL_AXIS) if n_data > 1
+              else P(None, MODEL_AXIS))
+    sp_fn = jax.shard_map(
+        _sp_body, mesh=mesh,
+        in_specs=(P(), ray_spec, ray_spec, z_spec, P()),
+        out_specs=(ray_spec, ray_spec), check_vma=False)
+
+    @jax.jit
+    def render_block(params, c2w, start, key):
+        rays_o, rays_d = gen_rays(c2w)
+        o = jax.lax.dynamic_slice_in_dim(rays_o, start, block, 0)
+        d = jax.lax.dynamic_slice_in_dim(rays_d, start, block, 0)
+        key = jax.random.fold_in(key, start)
+        key_c, key_f = jax.random.split(key)
+        z_vals = stratified_z_vals(key_c, block, near, far, n_coarse,
+                                   perturb=stratified)
+        return sp_fn(params, o, d, z_vals, key_f)
+
+    @jax.jit
+    def _finalize(parts_rgb, parts_disp):
+        rgb = jnp.concatenate(parts_rgb, 0)[:n_total]
+        disp = jnp.concatenate(parts_disp, 0)[:n_total]
+        return rgb.reshape(H, W, 3), disp.reshape(H, W)
+
+    def _render(params, c2w, key):
+        c2w = jnp.asarray(c2w)
+        outs = [render_block(params, c2w, i * block, key)
+                for i in range(n_padded // block)]
         return _finalize([o[0] for o in outs], [o[1] for o in outs])
 
     if not use_pallas:

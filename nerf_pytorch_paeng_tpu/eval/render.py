@@ -18,7 +18,7 @@ import numpy as np
 
 from ..data.render_pose import get_render_pose
 from ..utils.metrics import to8b
-from .frame import make_frame_renderer
+from .frame import get_frame_renderer
 
 
 def run_render(idx: int, model, params, K, hw, cfg,
@@ -37,7 +37,7 @@ def run_render(idx: int, model, params, K, hw, cfg,
                                 f"{cfg.exp_name}_{idx}", "render_result")
     os.makedirs(save_dir, exist_ok=True)
 
-    render = make_frame_renderer(model, cfg, H, W, K, mesh=mesh)
+    render = get_frame_renderer(model, cfg, H, W, K, mesh=mesh)
     key = jax.random.PRNGKey(cfg.seed + idx + 1)
 
     rgbs, disps = [], []

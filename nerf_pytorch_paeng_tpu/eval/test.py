@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.metrics import to8b
-from .frame import make_frame_renderer
+from .frame import get_frame_renderer
 from .metrics import compute_lpips, compute_ssim, load_lpips_params
 
 
@@ -25,14 +25,24 @@ def run_test(idx: int, model, params, test_imgs, test_poses, K, hw, cfg,
     """Evaluate on the held-out split. Returns the per-view metrics dict.
 
     test_imgs: [T, H, W, 3] numpy; test_poses: [T, 3or4, 4].
+
+    Metric-reporting evaluation always renders through the EXACT dense
+    path (render_cull="none"), whatever the production default: the
+    reference evaluation protocol is exact, and published PSNR must not
+    depend on the cull's (guarded, but lossy) approximation.  Novel-view
+    rendering (eval/render.py) keeps the production culled path.
     """
+    import dataclasses
+
     H, W = hw
     if save_dir is None:
         save_dir = os.path.join(cfg.logdir, cfg.exp_name,
                                 f"{cfg.exp_name}_{idx}", "test_result")
     os.makedirs(save_dir, exist_ok=True)
 
-    render = make_frame_renderer(model, cfg, H, W, K, mesh=mesh)
+    render = get_frame_renderer(
+        model, dataclasses.replace(cfg, render_cull="none"), H, W, K,
+        mesh=mesh)
     lpips_params = load_lpips_params(cfg.lpips_weights)
 
     psnrs, ssims, lpipss, losses = [], [], [], []

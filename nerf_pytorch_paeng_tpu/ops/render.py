@@ -191,11 +191,16 @@ def render_rays_train(params, rays_o, rays_d, key, cfg) -> "RaysRender":
     od = jnp.concatenate(
         [rays_o.T, rays_d.T, jnp.zeros((2, n), rays_o.dtype)], 0)
 
+    # forward sample-row unroll: 16 measured faster than 8 on v5e for the
+    # training forward (tools/bench_train_kernels.py: 6.09 vs 6.39 ms at
+    # 192x4096); the backward keeps its one-row body (8-row blocks)
+    s_rows = lambda s: 16 if s % 16 == 0 else 8
     z_vals = stratified_z_vals(key_c, n, float(cfg.near), float(cfg.far),
                                cfg.N_samples_c, perturb=True)
     r, g, b, sg = fused_mlp_train_rays(packed_c, od, z_vals.T,
                                        L_x=cfg.L_x, L_d=cfg.L_d,
-                                       tile_rays=tile, interpret=interpret)
+                                       tile_rays=tile, interpret=interpret,
+                                       s_rows=s_rows(cfg.N_samples_c))
     out_c = volume_render_rays_t(r, g, b, sg, z_vals.T, rays_d)
     if cfg.N_samples_f <= 0:
         return RaysRender(out_c.rgb, out_c.disp, None, None, None, None)
@@ -204,9 +209,11 @@ def render_rays_train(params, rays_o, rays_d, key, cfg) -> "RaysRender":
                                 n_fine=cfg.N_samples_f,
                                 perturb=float(cfg.perturb))
     z_t = jax.lax.stop_gradient(z_all.T)
+    s_merged = cfg.N_samples_c + cfg.N_samples_f
     r, g, b, sg = fused_mlp_train_rays(packed_f, od, z_t,
                                        L_x=cfg.L_x, L_d=cfg.L_d,
-                                       tile_rays=tile, interpret=interpret)
+                                       tile_rays=tile, interpret=interpret,
+                                       s_rows=s_rows(s_merged))
     out_f = volume_render_rays_t(r, g, b, sg, z_t, rays_d)
     return RaysRender(out_c.rgb, out_c.disp, out_f.rgb, out_f.disp,
                       out_f.acc, out_f.depth)
@@ -414,7 +421,7 @@ def render_frame(
             "runtime fault (two pallas_calls inside a lax.map body — see "
             "CLAUDE.md). Use eval/frame.make_frame_renderer instead.")
     n = rays_o.shape[0]
-    block = block_rays or cfg.chunk_rays
+    block = block_rays or cfg.chunk_rays or 4096
     n_pad = (-n) % block
     ro = jnp.concatenate([rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
     rd = jnp.concatenate([rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)

@@ -34,6 +34,16 @@ class RenderOutputs(NamedTuple):
     depth: jnp.ndarray     # [N]
 
 
+class RenderOutputsT(NamedTuple):
+    """RenderOutputs with sample-major ``weights`` — the ray-major kernels'
+    native layout (everything else matches RenderOutputs)."""
+    rgb: jnp.ndarray       # [N, 3]
+    disp: jnp.ndarray      # [N]
+    acc: jnp.ndarray       # [N]
+    weights: jnp.ndarray   # [S, N] (transposed!)
+    depth: jnp.ndarray     # [N]
+
+
 def exclusive_cumprod(x: jnp.ndarray, scan_impl: str = "cumprod") -> jnp.ndarray:
     """Exclusive product along the last axis: out[i] = prod(x[:i]), out[0]=1."""
     if scan_impl == "associative":
@@ -100,11 +110,11 @@ def volume_render_planar(raw: jnp.ndarray, z_vals: jnp.ndarray,
 def volume_render_rays_t(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
                          sigma: jnp.ndarray, z_t: jnp.ndarray,
                          rays_d: jnp.ndarray,
-                         scan_impl: str = "cumprod") -> RenderOutputs:
+                         scan_impl: str = "cumprod") -> RenderOutputsT:
     """Same compositing math in the sample-major layout: r/g/b/sigma and
     z_t are [S, N] (the ray-major kernels' native outputs,
     kernels/fused_mlp.fused_mlp_eval_rays) — the scan runs along axis 0.
-    ``weights`` in the returned tuple is [S, N] (transposed)."""
+    Returns RenderOutputsT, whose ``weights`` is [S, N] (transposed)."""
     sigma = sigma.astype(jnp.float32)
     dists = z_t[1:] - z_t[:-1]
     dists = jnp.concatenate([dists, jnp.full_like(dists[:1], 1e10)], 0)
@@ -134,7 +144,7 @@ def volume_render_rays_t(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
     disp_map = jnp.where(acc_map == 0.0, 0.0, disp_map)
 
     rgb_map = rgb_map + (1.0 - acc_map[..., None])
-    return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)
+    return RenderOutputsT(rgb_map, disp_map, acc_map, weights, depth_map)
 
 
 def weights_from_sigma_t(sigma_t: jnp.ndarray, z_t: jnp.ndarray,
@@ -148,8 +158,13 @@ def weights_from_sigma_t(sigma_t: jnp.ndarray, z_t: jnp.ndarray,
     dists = dists * jnp.linalg.norm(rays_d, axis=-1)[None]
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma_t) * dists)
     x = 1.0 - alpha + 1e-10
-    ones = jnp.ones_like(x[:1])
-    transmittance = jnp.cumprod(jnp.concatenate([ones, x], 0), 0)[:-1]
+    if scan_impl == "associative":
+        logs = jnp.log(jnp.maximum(x, 1e-10))
+        inc = jax.lax.associative_scan(jnp.add, logs, axis=0)
+        transmittance = jnp.exp(inc - logs)
+    else:
+        ones = jnp.ones_like(x[:1])
+        transmittance = jnp.cumprod(jnp.concatenate([ones, x], 0), 0)[:-1]
     return alpha * transmittance
 
 

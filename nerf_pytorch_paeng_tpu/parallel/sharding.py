@@ -164,7 +164,10 @@ def make_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
 
     n_model = dict(mesh.shape).get(MODEL_AXIS, 1)
     n_data = dict(mesh.shape).get(DATA_AXIS, 1)
-    if _supports_pallas_train(cfg) and n_model == 1 and n_data > 1:
+    # shard_map needs the ray batch to divide the data axis exactly;
+    # otherwise fall through to GSPMD, which pads uneven shards itself.
+    if (_supports_pallas_train(cfg) and n_model == 1 and n_data > 1
+            and cfg.N_rays % n_data == 0):
         step = make_train_step(model, tx, cfg, H, W, focal,
                                axis_name=DATA_AXIS)
         return make_shardmap_train_step(step, mesh)
@@ -203,9 +206,13 @@ def make_image_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
     n_devices = n_model * shape.get(DATA_AXIS, 1)
     if n_devices == 1:
         return make_image_train_step(model, tx, cfg, H, W, K)
-    assert cfg.N_rays % n_devices == 0, (cfg.N_rays, n_devices)
 
-    if _supports_pallas_train(cfg) and n_model == 1:
+    # The shard_map path slices N_rays/n_devices pixels per shard, so it
+    # needs exact divisibility; a mesh that doesn't divide (e.g. 6 devices
+    # with the reference N_rays=4096) falls through to GSPMD below, which
+    # handles uneven batch shards natively (and bit-matches single-device).
+    if (_supports_pallas_train(cfg) and n_model == 1
+            and cfg.N_rays % n_devices == 0):
         axis_step = make_image_train_step(model, tx, cfg, H, W, K,
                                           axis_name=DATA_AXIS, jit=False)
         variants = {}

