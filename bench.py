@@ -122,7 +122,8 @@ def bench_train(n_steps: int = 60, reps: int = 3, use_pallas: bool = True):
     return cfg.N_rays / sec_per_step, sec_per_step, sec_per_step_scanned, mfu
 
 
-def _train_blob_model(cfg, n_steps: int = 300):
+def _train_blob_model(cfg, n_steps: int = 300, blob_r: float = 0.45,
+                      blob_cutoff: float = 1.35):
     """A trained full-size model with genuine empty space, so the render
     benchmark exercises content-dependent paths (occupancy culling).
 
@@ -141,11 +142,11 @@ def _train_blob_model(cfg, n_steps: int = 300):
 
     _, _, poses = make_synth_scene(n_views=1, H=8, W=8)
     model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
-    _note("fitting blob model...")
+    _note(f"fitting blob model (r={blob_r}, cutoff={blob_cutoff})...")
     params, fit_loss = fit_field_to_blob(
         model, params0, jax.random.PRNGKey(1), n_steps=n_steps,
         n_pts=8192, L_x=cfg.L_x, L_d=cfg.L_d,
-        blob_r=0.45, blob_cutoff=1.35)
+        blob_r=blob_r, blob_cutoff=blob_cutoff)
     return model, params, poses, fit_loss
 
 
@@ -160,28 +161,36 @@ def bench_render(H: int = 800, W: int = 800, block=None,
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
     c2w = jnp.asarray(poses[0][:3, :4])
 
-    def time_renderer(rc):
-        _note(f"compiling {rc} renderer...")
+    def time_renderer(rc, prm):
+        _note(f"compiling/warming {rc} renderer...")
         r = make_frame_renderer(model, dataclasses.replace(cfg, render_cull=rc),
                                 H, W, K, block_rays=block)
-        rgb, disp = r(params, c2w, jax.random.PRNGKey(1))
+        rgb, disp = r(prm, c2w, jax.random.PRNGKey(1))
         _sync(rgb)
         _note(f"{rc} renderer warm")
         times = []
         for i in range(reps):
             t0 = time.perf_counter()
-            rgb, disp = r(params, c2w, jax.random.PRNGKey(2 + i))
+            rgb, disp = r(prm, c2w, jax.random.PRNGKey(2 + i))
             _sync(rgb)
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    t_auto = time_renderer("auto")
-    t_exact = time_renderer("none")
+    t_auto = time_renderer("auto", params)
+    t_exact = time_renderer("none", params)
+
+    # adversarial high-occupancy scene (>=50% of the frame above the cull
+    # threshold — round-2 VERDICT weak #8): same renderer (params-free
+    # closures are cached), bigger blob
+    _, params_hi, _, fit_loss_hi = _train_blob_model(
+        cfg, blob_r=0.54, blob_cutoff=1.62)
+    t_auto_hi = time_renderer("auto", params_hi)
+
     flops_exact = H * W * (cfg.N_samples_c * FLOPS_PER_PT_SIGMA
                            + (cfg.N_samples_c + cfg.N_samples_f)
                            * FLOPS_PER_PT_FULL)
     mfu_exact = flops_exact / t_exact / V5E_PEAK_BF16
-    return t_auto, t_exact, mfu_exact, fit_loss
+    return t_auto, t_exact, t_auto_hi, mfu_exact, fit_loss, fit_loss_hi
 
 
 def main():
@@ -189,12 +198,15 @@ def main():
     rays_per_sec, sec_per_step, sec_scanned, train_mfu = bench_train()
     extras = {}
     try:
-        t_auto, t_exact, mfu_exact, fit_loss = bench_render()
+        (t_auto, t_exact, t_auto_hi, mfu_exact, fit_loss,
+         fit_loss_hi) = bench_render()
         extras = {
             "render_800x800_sec": round(t_auto, 3),
+            "render_800x800_sec_hi": round(t_auto_hi, 3),
             "render_800x800_sec_exact": round(t_exact, 3),
             "render_mfu_exact_est": round(mfu_exact, 3),
             "render_model_fit_loss": round(fit_loss, 4),
+            "render_model_fit_loss_hi": round(fit_loss_hi, 4),
         }
     except Exception as e:  # never lose the train number to a render fault
         extras = {"render_800x800_sec": f"failed: {type(e).__name__}"}

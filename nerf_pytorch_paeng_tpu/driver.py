@@ -154,6 +154,8 @@ def main_worker(cfg: NerfConfig) -> None:
                             key, precrop=precrop)
 
     # ---- 5. observability ------------------------------------------------
+    from .train.schedule import schedule_from_cfg
+    sched_fn = schedule_from_cfg(cfg)
     logger = MetricLogger(cfg.logdir, cfg.exp_name)
     rng = np.random.default_rng(cfg.seed + 2)
     step_key = commit_replicated(jax.random.PRNGKey(cfg.seed + 3), mesh)
@@ -182,6 +184,9 @@ def main_worker(cfg: NerfConfig) -> None:
                 precrop=bool(i < cfg.precrop_iters))
 
         if i % cfg.idx_vis == 0 or i % cfg.idx_print == 0:
+            # current schedule value (update i used schedule(i-1)); logged
+            # so long runs evidence the traversed warmup-cosine schedule
+            metrics = {**metrics, "lr": float(sched_fn(i - 1))}
             logger.log(i, metrics, to_stdout=(i % cfg.idx_print == 0),
                        n_rays=cfg.N_rays)
 

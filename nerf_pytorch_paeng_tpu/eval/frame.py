@@ -120,16 +120,44 @@ def _shard_over_rays(body, mesh, n_ray_args: int, n_rep_args: int = 1):
                          out_specs=P(axes), check_vma=False)
 
 
-def _pack_for_eval(params, cfg):
+@functools.lru_cache(maxsize=8)
+def _pack_program(L_x: int, L_d: int):
     from ..kernels.fused_mlp import pack_nerf_mlp_params
-    return {
-        "packed_coarse": pack_nerf_mlp_params(
-            jax.tree_util.tree_map(np.asarray, params["coarse"]),
-            L_x=cfg.L_x, L_d=cfg.L_d),
-        "packed_fine": pack_nerf_mlp_params(
-            jax.tree_util.tree_map(np.asarray, params["fine"]),
-            L_x=cfg.L_x, L_d=cfg.L_d),
-    }
+
+    def pack(params):
+        return {
+            "packed_coarse": pack_nerf_mlp_params(params["coarse"],
+                                                  L_x=L_x, L_d=L_d),
+            "packed_fine": pack_nerf_mlp_params(params["fine"],
+                                                L_x=L_x, L_d=L_d),
+        }
+
+    return jax.jit(pack)
+
+
+# id(params) -> (params, packed).  The strong ref to params pins its id
+# (no reuse-after-GC aliasing); bounded so training-loop eval hooks with
+# fresh params per hook don't grow it.
+_PACK_CACHE: dict = {}
+
+
+def _pack_for_eval(params, cfg):
+    """Kernel-layout packed weights for the eval kernels, as ONE jitted
+    device program, cached by params identity.
+
+    The round-2 version packed eagerly per *frame* call — ~50 small jnp
+    ops, each a ~ms-level dispatch through the remote tunnel, measured as
+    a large share of the 0.88 s culled frame (306 ms wall-vs-busy gap in
+    the xplane trace).  Eval loops reuse one params tree across frames, so
+    packing now happens once per params change."""
+    hit = _PACK_CACHE.get(id(params))
+    if hit is not None and hit[0] is params:
+        return hit[1]
+    packed = _pack_program(cfg.L_x, cfg.L_d)(params)
+    if len(_PACK_CACHE) >= 8:
+        _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
+    _PACK_CACHE[id(params)] = (params, packed)
+    return packed
 
 
 def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
@@ -580,11 +608,13 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         return _phase2
 
     # mixed block sizes: the surviving-ray count is covered greedily by
-    # {block, block/2, block/4}-sized programs, so the wasted fine-MLP
-    # work in the final partial block is at most block/4 rays instead of
-    # a full block (each size compiles once and is reused across frames)
+    # {block, block/2, block/4, block/8}-sized programs, so the wasted
+    # fine-MLP work in the final partial block is at most block/8 rays
+    # (~16k at the default block, ~24 ms of fine MLP) instead of a full
+    # block; each size compiles once (~1 min each on the remote backend)
+    # and is reused across frames
     _sizes = []
-    for sz in (block, block // 2, block // 4):
+    for sz in (block, block // 2, block // 4, block // 8):
         if sz >= max(8, n_mesh) and sz % max(1, n_mesh) == 0 and sz % 8 == 0:
             _sizes.append(sz)
     _sizes = _sizes or [block]

@@ -284,13 +284,15 @@ def test_full_render_rays_parity():
                                want["disp_f"].numpy(), rtol=5e-3, atol=5e-3)
 
 
-def test_training_trajectory_parity():
-    """The strongest zero-egress 200k-PSNR-parity evidence: run the actual
-    reference optimizer loop (train.py:53-70 + main.py:76-90,124-161 —
-    render, MSE_c+MSE_f, Adam(0.9,0.999), CosineAnnealingWarmupRestarts)
-    on torch CPU for 100 steps with injected identical init, replayed RNG
-    and identical ray batches, and assert the per-step loss trajectory
-    matches our jitted train step to fp32 tolerance."""
+def run_trajectory_parity(steps: int = 100):
+    """Run the actual reference optimizer loop (train.py:53-70 +
+    main.py:76-90,124-161 — render, MSE_c+MSE_f, Adam(0.9,0.999),
+    CosineAnnealingWarmupRestarts) on torch CPU for ``steps`` steps with
+    injected identical init, replayed RNG and identical ray batches, next
+    to our jitted train step.  Returns (ours_loss, ref_loss) arrays.
+
+    Shared by test_training_trajectory_parity (100 steps, in-suite) and
+    tools/trajectory_parity_artifact.py (>=500 steps, drift-curve JSON)."""
     import types
 
     import jax
@@ -302,7 +304,7 @@ def test_training_trajectory_parity():
     from model.PositionalEncoding import get_positional_encoder
     from scheduler import CosineAnnealingWarmupRestarts
 
-    N, SC, SF, STEPS = 64, 16, 32, 100
+    N, SC, SF, STEPS = 64, 16, 32, steps
     cfg = NerfConfig(compute_dtype="float32", use_pallas=False,
                      N_rays=N, N_samples_c=SC, N_samples_f=SF,
                      near=2.0, far=6.0, iter_N=STEPS, iter_warmup=10,
@@ -393,8 +395,13 @@ def test_training_trajectory_parity():
         torch.device, torch.rand, torch.Tensor.to = (orig_device, orig_rand,
                                                      orig_to)
 
-    ours = np.array(ours_loss)
-    ref = np.array(ref_loss)
+    return np.array(ours_loss), np.array(ref_loss)
+
+
+def test_training_trajectory_parity():
+    """The strongest zero-egress 200k-PSNR-parity evidence (100 steps
+    in-suite; tools/trajectory_parity_artifact.py runs >=500)."""
+    ours, ref = run_trajectory_parity(100)
     # fp32 matmul-association noise (XLA vs torch) compounds through Adam;
     # early steps agree tightly, later steps drift within a small band
     np.testing.assert_allclose(ours[:20], ref[:20], rtol=1e-3)
