@@ -142,6 +142,37 @@ def test_sample_sharded_full_width_coarse_fine():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_sp_frame_renderer_dp_x_sp_mesh():
+    """sp_shards on a 2(data)x4(model) mesh: rays shard over 'data' AND
+    samples over 'model'; pixels must still match the dense renderer."""
+    import dataclasses
+
+    from nerf_pytorch_paeng_tpu.eval.frame import make_frame_renderer
+    from nerf_pytorch_paeng_tpu.utils.synth import make_synth_scene
+
+    cfg = NerfConfig(netDepth=2, netWidth=32, L_x=4, L_d=2,
+                     N_samples_c=8, N_samples_f=8, near=2.0, far=6.0,
+                     compute_dtype="float32", use_pallas=False, perturb=0.0,
+                     render_cull="none")
+    H = W = 8
+    _, K, poses = make_synth_scene(n_views=1, H=H, W=W)
+    model, params = init_nerf(cfg, jax.random.PRNGKey(0))
+    c2w = jnp.asarray(poses[0][:3, :4])
+    key = jax.random.PRNGKey(4)
+
+    dense = make_frame_renderer(model, cfg, H, W, K, stratified=False)
+    rgb_d, _ = dense(params, c2w, key)
+
+    mesh = make_mesh(2, 4)
+    cfg_sp = dataclasses.replace(cfg, sp_shards=4, n_model_shards=4,
+                                 n_data_shards=2)
+    sp = make_frame_renderer(model, cfg_sp, H, W, K, mesh=mesh,
+                             stratified=False)
+    rgb_s, _ = sp(params, c2w, key)
+    np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(rgb_d),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_sp_frame_renderer_matches_dense():
     """cfg.sp_shards routes the production frame renderer through the
     sample-sharded composite; pixels must match the dense renderer."""
