@@ -123,7 +123,8 @@ def bench_train(n_steps: int = 60, reps: int = 3, use_pallas: bool = True):
 
 
 def _train_blob_model(cfg, n_steps: int = 300, blob_r: float = 0.45,
-                      blob_cutoff: float = 1.35):
+                      blob_cutoff: float = 1.35, blob_amp: float = 8.0,
+                      blob_hard_w: float = 0.0):
     """A trained full-size model with genuine empty space, so the render
     benchmark exercises content-dependent paths (occupancy culling).
 
@@ -135,25 +136,30 @@ def _train_blob_model(cfg, n_steps: int = 300, blob_r: float = 0.45,
 
     Blob size picked for lego-like frame occupancy (~30% of an 800x800
     frame above the cull threshold), so the content-dependent render cost
-    is representative of the headline blender workload."""
+    is representative of the headline blender workload.  ``blob_amp``
+    sets the opacity front: 8.0 (default scenes) is a soft volumetric
+    medium; 60.0 gives the hard surface-like front real 200k-iter
+    training carves, which engages per-ray sample-window truncation."""
     from nerf_pytorch_paeng_tpu.models import init_nerf
     from nerf_pytorch_paeng_tpu.utils.synth import (fit_field_to_blob,
                                                     make_synth_scene)
 
     _, _, poses = make_synth_scene(n_views=1, H=8, W=8)
     model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
-    _note(f"fitting blob model (r={blob_r}, cutoff={blob_cutoff})...")
+    _note(f"fitting blob model (r={blob_r}, cutoff={blob_cutoff}, "
+          f"amp={blob_amp})...")
     params, fit_loss = fit_field_to_blob(
         model, params0, jax.random.PRNGKey(1), n_steps=n_steps,
         n_pts=8192, L_x=cfg.L_x, L_d=cfg.L_d,
-        blob_r=blob_r, blob_cutoff=blob_cutoff)
+        blob_r=blob_r, blob_cutoff=blob_cutoff, blob_amp=blob_amp,
+        blob_hard_w=blob_hard_w)
     return model, params, poses, fit_loss
 
 
 def bench_render(H: int = 800, W: int = 800, block=None,
                  reps: int = 3, use_pallas: bool = True):
     from nerf_pytorch_paeng_tpu.config import NerfConfig
-    from nerf_pytorch_paeng_tpu.eval.frame import make_frame_renderer
+    from nerf_pytorch_paeng_tpu.eval.frame import get_frame_renderer
 
     cfg = NerfConfig(near=2.0, far=6.0, use_pallas=use_pallas)
     model, params, poses, fit_loss = _train_blob_model(cfg)
@@ -161,13 +167,15 @@ def bench_render(H: int = 800, W: int = 800, block=None,
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
     c2w = jnp.asarray(poses[0][:3, :4])
 
-    def time_renderer(rc, prm):
-        _note(f"compiling/warming {rc} renderer...")
-        r = make_frame_renderer(model, dataclasses.replace(cfg, render_cull=rc),
-                                H, W, K, block_rays=block)
+    def time_renderer(rc, prm, tag=""):
+        _note(f"compiling/warming {rc}{tag} renderer...")
+        # get_frame_renderer: one cached renderer per render_cull mode,
+        # shared across the three scenes, so phase-2 programs compile once
+        r = get_frame_renderer(model, dataclasses.replace(cfg, render_cull=rc),
+                               H, W, K, block_rays=block)
         rgb, disp = r(prm, c2w, jax.random.PRNGKey(1))
         _sync(rgb)
-        _note(f"{rc} renderer warm")
+        _note(f"{rc}{tag} renderer warm")
         times = []
         for i in range(reps):
             t0 = time.perf_counter()
@@ -184,13 +192,23 @@ def bench_render(H: int = 800, W: int = 800, block=None,
     # closures are cached), bigger blob
     _, params_hi, _, fit_loss_hi = _train_blob_model(
         cfg, blob_r=0.54, blob_cutoff=1.62)
-    t_auto_hi = time_renderer("auto", params_hi)
+    t_auto_hi = time_renderer("auto", params_hi, tag=" (hi-occupancy)")
+
+    # hard-surface scene (same geometry as the standard scene, amp=60):
+    # the opacity front real training carves — per-ray transmittance
+    # collapses at the surface, engaging sample-window truncation
+    # (render_trunc_eps); the soft scenes above keep their round-2/3
+    # definitions for cross-round comparability
+    _, params_hard, _, fit_loss_hard = _train_blob_model(
+        cfg, n_steps=600, blob_amp=60.0, blob_hard_w=0.08)
+    t_auto_hard = time_renderer("auto", params_hard, tag=" (hard-surface)")
 
     flops_exact = H * W * (cfg.N_samples_c * FLOPS_PER_PT_SIGMA
                            + (cfg.N_samples_c + cfg.N_samples_f)
                            * FLOPS_PER_PT_FULL)
     mfu_exact = flops_exact / t_exact / V5E_PEAK_BF16
-    return t_auto, t_exact, t_auto_hi, mfu_exact, fit_loss, fit_loss_hi
+    return (t_auto, t_exact, t_auto_hi, t_auto_hard, mfu_exact,
+            fit_loss, fit_loss_hi, fit_loss_hard)
 
 
 def main():
@@ -198,15 +216,17 @@ def main():
     rays_per_sec, sec_per_step, sec_scanned, train_mfu = bench_train()
     extras = {}
     try:
-        (t_auto, t_exact, t_auto_hi, mfu_exact, fit_loss,
-         fit_loss_hi) = bench_render()
+        (t_auto, t_exact, t_auto_hi, t_auto_hard, mfu_exact, fit_loss,
+         fit_loss_hi, fit_loss_hard) = bench_render()
         extras = {
             "render_800x800_sec": round(t_auto, 3),
             "render_800x800_sec_hi": round(t_auto_hi, 3),
+            "render_800x800_sec_hard": round(t_auto_hard, 3),
             "render_800x800_sec_exact": round(t_exact, 3),
             "render_mfu_exact_est": round(mfu_exact, 3),
             "render_model_fit_loss": round(fit_loss, 4),
             "render_model_fit_loss_hi": round(fit_loss_hi, 4),
+            "render_model_fit_loss_hard": round(fit_loss_hard, 4),
         }
     except Exception as e:  # never lose the train number to a render fault
         extras = {"render_800x800_sec": f"failed: {type(e).__name__}"}

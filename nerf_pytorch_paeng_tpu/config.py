@@ -151,6 +151,17 @@ class NerfConfig:
     # or deliberately mismatched coarse/fine networks.
     render_cull: str = "auto"
     render_cull_tau: float = 1e-3
+    # per-ray sample-WINDOW truncation inside the culled renderer
+    # (eval/frame.py): leading merged samples carrying < eps cumulative
+    # coarse mass and samples past the coarse transmittance collapse
+    # (remaining T <= render_trunc_eps) each contribute O(eps) to the
+    # composite, so surviving rays are ordered by how many merged samples
+    # their window needs and fine blocks run at quantized truncated
+    # sample counts (ops/render.truncation_window).  Same coarse-estimate
+    # trust model as render_cull_tau (guard-tested together, < 0.05 dB vs
+    # exact).  0 = off (full 192-sample fine blocks for every surviving
+    # ray).
+    render_trunc_eps: float = 1e-3
     # sample-axis (SP/context-parallel analog) sharding for full-frame
     # rendering: split each ray's sample axis over the mesh 'model' axis
     # with the distributed log-space transmittance scan (parallel/sp.py).
@@ -160,6 +171,15 @@ class NerfConfig:
     # 64+128 samples; real headroom at thousands of samples per ray.
     sp_shards: int = 0
     log_dir: str = ""             # defaults to <repo>/logs
+    # fuse this many consecutive train steps into ONE device program
+    # (lax.scan) wherever no exact-iter hook (save/test/render, profiler
+    # window, precrop flip, pool reshuffle) falls inside the chunk.  On
+    # the remote TPU every dispatch carries ~3 ms of tunnel overhead
+    # (~10% of a 4096-ray step); chunking amortizes it to <1%.  The
+    # trajectory is unchanged: the step key is fold_in(key, state.step),
+    # so a scanned chunk replays exactly the single-step sequence
+    # (tests/test_cli.py pins scan-vs-single parity).  <= 1 disables.
+    scan_chunk: int = 16
     profile: bool = False         # emit a jax.profiler trace of a few steps
     check_nans: bool = False      # enable jax_debug_nans (debugging)
     lpips_weights: str = ""       # optional VGG16 weights .npz for LPIPS

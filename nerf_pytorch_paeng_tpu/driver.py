@@ -129,13 +129,22 @@ def main_worker(cfg: NerfConfig) -> None:
         # slice the batch from the device-resident pool INSIDE the jitted
         # step: eager slicing + device_put cost ~10 tunnel dispatches
         # (~20 ms each) per step on the remote backend
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def step_fn(state, pool, start, key):
+        def _slice_step(state, pool, start, key):
             batch = jax.lax.dynamic_slice_in_dim(pool, start, cfg.N_rays, 0)
             o = jax.lax.with_sharding_constraint(batch[:, 0, :], bs)
             d = jax.lax.with_sharding_constraint(batch[:, 1, :], bs)
             rgb = jax.lax.with_sharding_constraint(batch[:, 2, :], bs)
             return step_raw(state, o, d, rgb, key)
+
+        step_fn = jax.jit(_slice_step, donate_argnums=(0,))
+
+        # scan_chunk steps in ONE dispatch: the per-step key is
+        # fold_in(key, state.step), so the scanned chunk replays exactly
+        # the single-step trajectory
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chunk_fn(state, pool, starts, key):
+            return jax.lax.scan(
+                lambda st, s: _slice_step(st, pool, s, key), state, starts)
     else:
         print(">> per-image sampling mode (sharded over the mesh)")
         ray_pool = None
@@ -147,11 +156,19 @@ def main_worker(cfg: NerfConfig) -> None:
 
         # index the image/pose INSIDE the jitted step: eager slicing costs
         # two ~20 ms tunnel dispatches per step on the remote backend
-        @functools.partial(jax.jit, static_argnames=("precrop",),
-                           donate_argnums=(0,))
-        def step_fn(state, i_img, key, precrop=False):
+        def _image_step(state, i_img, key, precrop):
             return step_raw(state, images_dev[i_img], poses_dev[i_img],
                             key, precrop=precrop)
+
+        step_fn = jax.jit(_image_step, static_argnames=("precrop",),
+                          donate_argnums=(0,))
+
+        @functools.partial(jax.jit, static_argnames=("precrop",),
+                           donate_argnums=(0,))
+        def chunk_fn(state, i_imgs, key, precrop=False):
+            return jax.lax.scan(
+                lambda st, ii: _image_step(st, ii, key, precrop),
+                state, i_imgs)
 
     # ---- 5. observability ------------------------------------------------
     from .train.schedule import schedule_from_cfg
@@ -162,7 +179,65 @@ def main_worker(cfg: NerfConfig) -> None:
 
     # ---- 6. the loop (reference main.py:124-161) -------------------------
     profile_dir = os.path.join(cfg.logdir, cfg.exp_name, "profile")
-    for i in trange(cfg.iter_start + 1, cfg.iter_N + 1):
+
+    if cfg.iter_start == 0:
+        # one-time extrinsics plot (reference train.py:117-119; hoisted
+        # before the loop — it depends only on the dataset — so chunked
+        # stepping never has to break at iter 1)
+        vis_dir = os.path.join(cfg.logdir, cfg.exp_name, "_ext_vis")
+        visualize_extrinsics(extrinsics, vis_dir, idx_list=i_train,
+                             name="train_cameras")
+        # ray-augmented `_R_t` variant (reference visualize.py:113-136);
+        # idx_vis_cam_param gates it (the reference parses this knob but
+        # never consumes it, config.py:103 — here 0 disables the plot)
+        if cfg.idx_vis_cam_param > 0:
+            visualize_extrinsics(
+                extrinsics, vis_dir, idx_list=i_train,
+                name="train_cameras_rays", K=np.asarray(K), hw=(H, W),
+                near=float(cfg.near), far=float(cfg.far))
+
+    K_scan = max(int(cfg.scan_chunk), 1)
+    n_iters = cfg.iter_N - cfg.iter_start
+    use_scan = K_scan > 1 and n_iters >= 2 * K_scan
+
+    test_on = bool(cfg.idx_test and cfg.mode_test and len(i_test) > 0)
+    render_on = bool(cfg.idx_render and cfg.mode_render)
+
+    def _chunk_len(i: int) -> int:
+        """K_scan if iters [i, i+K_scan-1] can run as ONE scanned dispatch,
+        else 1.  Hooks needing exact-iter host state (save/test/render) may
+        fall only on the chunk's LAST iter; the precrop flag must be
+        constant across the chunk; the profiler window and a global-pool
+        reshuffle single-step."""
+        if not use_scan or i + K_scan - 1 > cfg.iter_N:
+            return 1
+        if cfg.profile and i <= cfg.iter_start + 15:
+            return 1
+        if not cfg.global_batch and (
+                (i < cfg.precrop_iters) != (i + K_scan - 1 < cfg.precrop_iters)):
+            return 1
+        if cfg.global_batch and (
+                ray_pool.i_batch + K_scan * cfg.N_rays > ray_pool.pool.shape[0]):
+            return 1
+        for e in range(i, i + K_scan - 1):
+            if cfg.idx_save and e % cfg.idx_save == 0:
+                return 1
+            if test_on and e % cfg.idx_test == 0:
+                return 1
+            if render_on and e % cfg.idx_render == 0:
+                return 1
+        return K_scan
+
+    def _log_step(e: int, metrics):
+        # current schedule value (update e used schedule(e-1)); logged
+        # so long runs evidence the traversed warmup-cosine schedule
+        metrics = {**metrics, "lr": float(sched_fn(e - 1))}
+        logger.log(e, metrics, to_stdout=(e % cfg.idx_print == 0),
+                   n_rays=cfg.N_rays)
+
+    pbar = trange(cfg.iter_start + 1, cfg.iter_N + 1)
+    i = cfg.iter_start + 1
+    while i <= cfg.iter_N:
         if cfg.profile and i == cfg.iter_start + 10:
             try:  # trace a few steady-state steps (SURVEY §5 observability)
                 jax.profiler.start_trace(profile_dir)
@@ -174,48 +249,59 @@ def main_worker(cfg: NerfConfig) -> None:
                 print(f">> profiler trace written to {profile_dir}")
             except Exception:
                 pass
-        if cfg.global_batch:
-            start = ray_pool.next_start(cfg.N_rays)
-            state, metrics = step_fn(state, ray_pool.pool, start, step_key)
+
+        chunk = _chunk_len(i)
+        if chunk > 1:
+            if cfg.global_batch:
+                starts = jnp.asarray(
+                    [ray_pool.next_start(cfg.N_rays) for _ in range(chunk)],
+                    jnp.int32)
+                state, mstack = chunk_fn(state, ray_pool.pool, starts,
+                                         step_key)
+            else:
+                i_imgs = jnp.asarray(
+                    [int(rng.choice(i_train)) for _ in range(chunk)],
+                    jnp.int32)
+                state, mstack = chunk_fn(
+                    state, i_imgs, step_key,
+                    precrop=bool(i < cfg.precrop_iters))
+            log_js = [j for j in range(chunk)
+                      if (i + j) % cfg.idx_vis == 0
+                      or (i + j) % cfg.idx_print == 0]
+            if log_js:
+                mhost = jax.device_get(mstack)   # ONE host transfer
+                for j in log_js:
+                    _log_step(i + j, {k: v[j] for k, v in mhost.items()})
         else:
-            i_img = int(rng.choice(i_train))
-            state, metrics = step_fn(
-                state, i_img, step_key,
-                precrop=bool(i < cfg.precrop_iters))
+            if cfg.global_batch:
+                start = ray_pool.next_start(cfg.N_rays)
+                state, metrics = step_fn(state, ray_pool.pool, start,
+                                         step_key)
+            else:
+                i_img = int(rng.choice(i_train))
+                state, metrics = step_fn(
+                    state, i_img, step_key,
+                    precrop=bool(i < cfg.precrop_iters))
+            if i % cfg.idx_vis == 0 or i % cfg.idx_print == 0:
+                _log_step(i, metrics)
 
-        if i % cfg.idx_vis == 0 or i % cfg.idx_print == 0:
-            # current schedule value (update i used schedule(i-1)); logged
-            # so long runs evidence the traversed warmup-cosine schedule
-            metrics = {**metrics, "lr": float(sched_fn(i - 1))}
-            logger.log(i, metrics, to_stdout=(i % cfg.idx_print == 0),
-                       n_rays=cfg.N_rays)
-
-        if cfg.idx_save and i % cfg.idx_save == 0:
+        last = i + chunk - 1      # hooks fire on the chunk's final iter
+        if cfg.idx_save and last % cfg.idx_save == 0:
             path = save_checkpoint(cfg.logdir, cfg.exp_name, state)
             print(f">> checkpoint saved: {path}")
 
-        if (cfg.idx_test and i % cfg.idx_test == 0 and cfg.mode_test
-                and len(i_test) > 0):
-            run_test(i, model, state.params, images[i_test],
+        if test_on and last % cfg.idx_test == 0:
+            run_test(last, model, state.params, images[i_test],
                      extrinsics[i_test], K, hw, cfg, mesh=mesh)
 
-        if cfg.idx_render and i % cfg.idx_render == 0 and cfg.mode_render:
-            run_render(i, model, state.params, K, hw, cfg,
+        if render_on and last % cfg.idx_render == 0:
+            run_render(last, model, state.params, K, hw, cfg,
                        render_poses=_llff_render_poses_34(render_poses),
                        mesh=mesh)
 
-        if i == 1:  # one-time extrinsics plot (reference train.py:117-119)
-            vis_dir = os.path.join(cfg.logdir, cfg.exp_name, "_ext_vis")
-            visualize_extrinsics(extrinsics, vis_dir, idx_list=i_train,
-                                 name="train_cameras")
-            # ray-augmented `_R_t` variant (reference visualize.py:113-136);
-            # idx_vis_cam_param gates it (the reference parses this knob but
-            # never consumes it, config.py:103 — here 0 disables the plot)
-            if cfg.idx_vis_cam_param > 0:
-                visualize_extrinsics(
-                    extrinsics, vis_dir, idx_list=i_train,
-                    name="train_cameras_rays", K=np.asarray(K), hw=(H, W),
-                    near=float(cfg.near), far=float(cfg.far))
+        pbar.update(chunk)
+        i += chunk
+    pbar.close()
 
     logger.close()
     print(">> training done")

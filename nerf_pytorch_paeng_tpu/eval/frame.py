@@ -22,17 +22,29 @@ Occupancy-culled rendering (``cfg.render_cull == "auto"``, the default):
   per-ray sampling stats (z_vals, weights), plus the cull decision — rays
   whose coarse occupancy ``acc = Σ weights`` is <= tau composite straight
   to the white background (their exact composite lies within tau of it:
-  rgb = Σ w·sigmoid(c) + (1-acc) ∈ [1-acc, 1] per channel), the rest are
-  ordered by occupancy (device argsort).
-  One host sync reads the surviving-ray count.
+  rgb = Σ w·sigmoid(c) + (1-acc) ∈ [1-acc, 1] per channel).  Surviving
+  rays are ordered by their per-ray sample requirement ``s_req = n_fine +
+  k_need - k_start``: the coarse samples between the leading-mass cut
+  (cumulative coarse weight reaches ``render_trunc_eps``) and the
+  transmittance collapse (remaining T <= eps), each widened by a one-bin
+  safety margin (ops/render.truncation_bounds — fine samples of the
+  boundary bins can land past the unwidened cuts), plus every fine
+  sample.
+  One host sync reads a tiny cumulative histogram of s_req classes (its
+  last entry is the surviving-ray count).
   Phase 2 (<= ceil(n_active/block) programs): gather a compacted block of
-  surviving rays, hierarchical fine pass, composite, and scatter into the
-  (donated) frame buffers — all in the same program.
-On trained scenes most background rays cull, so the dominant fine-MLP cost
-scales with scene content instead of pixel count.  The error is bounded by
-tau on the coarse estimate and guard-tested end-to-end
+  surviving rays, hierarchical fine pass TRUNCATED to a per-ray WINDOW of
+  the sorted merged depths at the block's quantized sample count
+  (ops/render.truncation_window: skip merged samples below the leading-
+  mass cut, stop at the window end — each drop is O(eps) on the coarse
+  estimate), composite, and scatter into the (donated) frame buffers —
+  all in the same program.
+On trained scenes most background rays cull and most surface rays
+truncate, so the dominant fine-MLP cost scales with scene content instead
+of pixel count x sample count.  The error is bounded by tau (cull) and
+trunc_eps (truncation) on the coarse estimate and guard-tested end-to-end
 (tests/test_render_culled.py: PSNR delta vs the exact render < 0.05 dB on
-a trained scene).
+a trained scene, for both mechanisms).
 """
 from __future__ import annotations
 
@@ -47,7 +59,9 @@ import numpy as np
 from ..models.nerf import NeRF
 from ..ops.rays import get_rays
 from ..ops.render import (_pallas_interpret, hierarchical_fine_pass,
-                          hierarchical_z_vals, make_pallas_field_fns,
+                          hierarchical_z_vals, truncation_bounds,
+                          truncation_window,
+                          make_pallas_field_fns,
                           make_pallas_sigma_fn, make_xla_field_fns,
                           maybe_ndc, render_rays_from_cfg)
 from ..ops.sampling import stratified_z_vals
@@ -485,6 +499,17 @@ def _make_sp_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     return render_with_packing
 
 
+def _trunc_classes(s_full: int, n_fine: int, trunc_eps: float):
+    """Quantized truncated sample counts for the culled fine phase.
+    {3/4, 7/8, 1}·S rounded up to the kernels' 8-row granularity — few
+    enough that the per-(block, S) program set stays small."""
+    if trunc_eps <= 0:
+        return [s_full]
+    cand = sorted({int(np.ceil(s_full * f / 8)) * 8 for f in (0.75, 0.875)})
+    classes = [c for c in cand if n_fine < c < s_full]
+    return classes + [s_full]
+
+
 def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
                                 mesh=None, block_rays=None,
                                 stratified: bool = True):
@@ -492,6 +517,7 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     n_coarse, n_fine = cfg.N_samples_c, cfg.N_samples_f
     near, far = float(cfg.near), float(cfg.far)
     tau = float(cfg.render_cull_tau)
+    trunc_eps = float(getattr(cfg, "render_trunc_eps", 0.0))
     perturb = float(cfg.perturb)
     use_pallas = _supports_pallas(cfg)
     n_mesh = _mesh_size(mesh)
@@ -499,6 +525,9 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     block = _pick_block(block_rays, n_mesh, n_total)
     n_padded = n_total + ((-n_total) % block)
     gen_rays = _make_ray_gen(cfg, H, W, K, n_padded)
+
+    s_full = n_coarse + n_fine
+    s_classes = _trunc_classes(s_full, n_fine, trunc_eps)
 
     use_rays = _use_rays_kernels(cfg)
     interpret = _pallas_interpret()
@@ -534,12 +563,22 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         return z_vals, weights
 
     # ---- phase-2 body: fine pass on a compacted ray block ----------------
-    def _fine_body(params, rays_o, rays_d, z_vals, weights, key):
+    # s_keep: composite only an s_keep-sample per-ray window of the sorted
+    # merged depths (truncation_window): leading samples below the
+    # cumulative-mass cut and trailing samples past the transmittance
+    # collapse each carry O(trunc_eps) mass on the coarse estimate, and
+    # phase 1 routes into this program only rays whose window requirement
+    # s_req <= s_keep.
+    def _fine_body(params, rays_o, rays_d, z_vals, weights, key, *,
+                   s_keep=None):
         if use_rays:
             from ..kernels.fused_mlp import fused_mlp_eval_rays
             m = rays_o.shape[0]
             z_all = hierarchical_z_vals(z_vals, weights, key,
                                         n_fine=n_fine, perturb=perturb)
+            if s_keep is not None and s_keep < z_all.shape[-1]:
+                z_all = truncation_window(z_all, z_vals, weights, s_keep,
+                                          trunc_eps)
             z_t = z_all.T
             tile, pm = _rays_tiling(m)
             od, z_p = _pad_rays_z(_pack_od(rays_o, rays_d), z_t, pm)
@@ -557,28 +596,52 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
             _, fine_fn = make_xla_field_fns(model, params, cfg)
         out = hierarchical_fine_pass(fine_fn, rays_o, rays_d, z_vals,
                                      weights, key, n_fine=n_fine,
-                                     perturb=perturb)
+                                     perturb=perturb, n_keep=s_keep,
+                                     trunc_eps=trunc_eps)
         return out.rgb, out.disp
+
+    def _wrap_fine(s_keep):
+        body = functools.partial(_fine_body, s_keep=s_keep)
+        if n_mesh > 1:
+            return _shard_over_rays(body, mesh, 4)
+        return body
 
     if n_mesh > 1:
         coarse_fn_b = _shard_over_rays(_coarse_body, mesh, 2)
-        fine_fn_b = _shard_over_rays(_fine_body, mesh, 4)
     else:
         coarse_fn_b = _coarse_body
-        fine_fn_b = _fine_body
 
     @jax.jit
     def _phase1(params, c2w, key):
         """ONE program: ray generation, coarse stats for every ray, the
-        cull decision, and the background composite for culled rays."""
+        cull decision, per-ray sample requirements, and the background
+        composite for culled rays."""
         rays_o, rays_d = gen_rays(c2w)
         key = jax.random.fold_in(key, 0)
         z_vals, weights = coarse_fn_b(params, rays_o, rays_d, key)
         acc = jnp.sum(weights, -1)
         # padding rays never survive
         acc = jnp.where(jnp.arange(acc.shape[0]) < n_total, acc, -1.0)
-        order = jnp.argsort(-acc)
-        n_active = jnp.sum(acc > tau)
+        active = acc > tau
+        if len(s_classes) > 1:
+            # merged samples this ray needs: the coarse samples between
+            # the leading-mass cut and the transmittance collapse (both
+            # margin-adjusted — ops/render.truncation_bounds, shared with
+            # phase 2's truncation_window so the window provably covers
+            # the requirement), plus every fine sample — merged entries
+            # in that depth range number at most (k_need - k_start) +
+            # n_fine
+            k_start, k_need = truncation_bounds(weights, trunc_eps)
+            s_req = n_fine + k_need - k_start
+        else:
+            s_req = jnp.full(acc.shape, s_full, jnp.int32)
+        # active rays first, ordered by how many samples they need, so
+        # blocks of cheap rays run truncated fine programs
+        sort_key = jnp.where(active, s_req, s_full + 2)
+        order = jnp.argsort(sort_key)
+        # cumulative class histogram; last entry (s_req <= s_full, always
+        # true for active rays) is the active count — ONE small host fetch
+        class_cum = jnp.stack([jnp.sum(sort_key <= c) for c in s_classes])
         # composite for culled rays from coarse stats alone: the white-
         # background term dominates (rgb within tau/2 of the exact coarse
         # composite); disp follows the reference formula on coarse stats
@@ -588,17 +651,20 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         mean_depth = depth / jnp.maximum(acc, 1e-10)
         disp0 = jnp.minimum(1.0 / jnp.maximum(1e-10, mean_depth), DISP_CLAMP)
         disp0 = jnp.where(acc <= 0.0, 0.0, disp0)
-        return (rays_o, rays_d, z_vals, weights, order, n_active,
+        return (rays_o, rays_d, z_vals, weights, order, class_cum,
                 rgb0, disp0)
 
-    def _make_phase2(blk):
+    def _make_phase2(blk, s_keep):
+        fine_fn_b = _wrap_fine(None if s_keep >= s_full else s_keep)
+
         @functools.partial(jax.jit, donate_argnums=(7, 8))
         def _phase2(params, rays_o, rays_d, z_all, w_all, order, start,
                     rgb_frame, disp_frame, key):
             """Gather one compacted block of surviving rays, fine-render
-            it, and scatter into the (donated) frame — one program per
-            block size.  ``start`` is a traced scalar so blocks of the
-            same size share one program."""
+            it at s_keep merged samples, and scatter into the (donated)
+            frame — one program per (block size, sample count).  ``start``
+            is a traced scalar so blocks of the same shape share one
+            program."""
             idx = jax.lax.dynamic_slice_in_dim(order, start, blk, 0)
             key = jax.random.fold_in(key, 1 + start)  # phase 1 used (.,0)
             rgb, disp = fine_fn_b(params, rays_o[idx], rays_d[idx],
@@ -611,23 +677,38 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     # {block, block/2, block/4, block/8}-sized programs, so the wasted
     # fine-MLP work in the final partial block is at most block/8 rays
     # (~16k at the default block, ~24 ms of fine MLP) instead of a full
-    # block; each size compiles once (~1 min each on the remote backend)
+    # block; each (size, sample-count) program compiles once (~1 min on
+    # the remote backend, only the combinations a scene actually uses)
     # and is reused across frames
     _sizes = []
     for sz in (block, block // 2, block // 4, block // 8):
         if sz >= max(8, n_mesh) and sz % max(1, n_mesh) == 0 and sz % 8 == 0:
             _sizes.append(sz)
     _sizes = _sizes or [block]
-    _phase2_cache = {sz: _make_phase2(sz) for sz in _sizes}
+    _phase2_cache: dict = {}
 
-    def _cover(n_act: int):
-        """Greedy (start, size) decomposition covering >= n_act rays."""
+    def _get_phase2(sz, s_keep):
+        fn = _phase2_cache.get((sz, s_keep))
+        if fn is None:
+            fn = _make_phase2(sz, s_keep)
+            _phase2_cache[(sz, s_keep)] = fn
+        return fn
+
+    def _cover(n_act: int, cum):
+        """Greedy (start, size, s_keep) decomposition covering >= n_act
+        rays.  The block's sample count is the class of its LAST covered
+        active ray (rays are sorted ascending by s_req, so it bounds every
+        ray in the block); overhang rays past n_act are culled rays whose
+        value is tau-bounded regardless."""
         g = _sizes[-1]
         rem = -(-n_act // g) * g
         out, pos = [], 0
         for sz in _sizes:
             while rem >= sz:
-                out.append((pos, sz))
+                end = min(pos + sz, n_act)
+                s_keep = next(c for c, cc in zip(s_classes, cum)
+                              if cc >= end)
+                out.append((pos, sz, s_keep))
                 pos += sz
                 rem -= sz
         return out
@@ -638,11 +719,12 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
                 disp_frame[:n_total].reshape(H, W))
 
     def _render(params, c2w, key):
-        (rays_o, rays_d, z_all, w_all, order, n_active, rgb_frame,
+        (rays_o, rays_d, z_all, w_all, order, class_cum, rgb_frame,
          disp_frame) = _phase1(params, jnp.asarray(c2w), key)
-        n_act = int(n_active)                     # one host sync per frame
-        for start, sz in _cover(n_act):
-            rgb_frame, disp_frame = _phase2_cache[sz](
+        cum = np.asarray(class_cum)               # one host sync per frame
+        n_act = int(cum[-1])
+        for start, sz, s_keep in _cover(n_act, cum):
+            rgb_frame, disp_frame = _get_phase2(sz, s_keep)(
                 params, rays_o, rays_d, z_all, w_all, order,
                 start, rgb_frame, disp_frame, key)
         return _finalize(rgb_frame, disp_frame)

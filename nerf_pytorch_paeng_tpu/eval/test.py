@@ -8,6 +8,7 @@ pose full-frame, write per-view ``{i:03d}.png`` + ``{i:03d}_disp.png``
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import imageio.v2 as imageio
@@ -45,18 +46,28 @@ def run_test(idx: int, model, params, test_imgs, test_poses, K, hw, cfg,
         mesh=mesh)
     lpips_params = load_lpips_params(cfg.lpips_weights)
 
-    psnrs, ssims, lpipss, losses = [], [], [], []
+    # pipelined like eval/render.py: frame i+1's device programs are
+    # dispatched before frame i's outputs are fetched, metric-ed, and
+    # PNG-encoded (encodes on an IO thread pool)
+    poses = np.asarray(test_poses)
+    psnrs = [0.0] * len(poses)
+    ssims = [0.0] * len(poses)
+    lpipss = [0.0] * len(poses)
+    losses = [0.0] * len(poses)
+    io_pool = ThreadPoolExecutor(max_workers=2)
+    io_futs = []
     key = jax.random.PRNGKey(cfg.seed + idx)
-    for i, pose in enumerate(np.asarray(test_poses)):
-        key, sub = jax.random.split(key)
-        rgb, disp = render(params, jnp.asarray(pose[:3, :4]), sub)
-        rgb_np = np.asarray(rgb)
-        disp_np = np.asarray(disp)
 
-        imageio.imwrite(os.path.join(save_dir, f"{i:03d}.png"), to8b(rgb_np))
+    def _drain(i, rgb_dev, disp_dev):
+        rgb_np = np.asarray(rgb_dev)
+        disp_np = np.asarray(disp_dev)
+        io_futs.append(io_pool.submit(
+            imageio.imwrite, os.path.join(save_dir, f"{i:03d}.png"),
+            to8b(rgb_np)))
         dmax = np.nanmax(disp_np)
-        imageio.imwrite(os.path.join(save_dir, f"{i:03d}_disp.png"),
-                        to8b(disp_np / dmax if dmax > 0 else disp_np))
+        io_futs.append(io_pool.submit(
+            imageio.imwrite, os.path.join(save_dir, f"{i:03d}_disp.png"),
+            to8b(disp_np / dmax if dmax > 0 else disp_np)))
 
         gt = np.asarray(test_imgs[i], np.float32)
         mse = float(np.mean((rgb_np - gt) ** 2))
@@ -64,13 +75,26 @@ def run_test(idx: int, model, params, test_imgs, test_poses, K, hw, cfg,
         ssim = float(compute_ssim(jnp.asarray(rgb_np), jnp.asarray(gt)))
         lpips = compute_lpips(jnp.asarray(rgb_np), jnp.asarray(gt),
                               lpips_params)
-        losses.append(mse)
-        psnrs.append(psnr)
-        ssims.append(ssim)
-        lpipss.append(lpips)
+        losses[i] = mse
+        psnrs[i] = psnr
+        ssims[i] = ssim
+        lpipss[i] = lpips
         if verbose:
             print(f"test view {i}: mse={mse:.6f} psnr={psnr:.2f} "
                   f"ssim={ssim:.4f} lpips={lpips:.4f}")
+
+    pending = None
+    for i, pose in enumerate(poses):
+        key, sub = jax.random.split(key)
+        out = render(params, jnp.asarray(pose[:3, :4]), sub)
+        if pending is not None:
+            _drain(*pending)
+        pending = (i, *out)
+    if pending is not None:
+        _drain(*pending)
+    for f in io_futs:
+        f.result()                    # surface any IO error
+    io_pool.shutdown()
 
     # _result.txt in the reference's format (test.py:92-108)
     with open(os.path.join(save_dir, "_result.txt"), "w") as f:

@@ -237,9 +237,76 @@ def hierarchical_z_vals(z_vals, weights, key, *, n_fine: int,
     return jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
 
 
+def truncation_bounds(weights, eps: float):
+    """Per-ray coarse-sample window [k_start, k_need) for eval/frame.py's
+    sample truncation: k_start is one bin BEFORE the first coarse sample
+    where the cumulative coarse weight reaches ``eps`` and k_need one bin
+    past the transmittance collapse (remaining T <= eps).
+
+    The one-bin safety margin on each side is load-bearing, not
+    belt-and-braces: ``sample_pdf`` bins fine samples by coarse-depth
+    MIDPOINTS (hierarchical_z_vals), so fine samples belonging to the
+    front bin k_start land as low as (z[k_start-1]+z[k_start])/2 —
+    strictly below z[k_start].  Cutting at z[k_start] would drop up to
+    half the front bin's fine samples, which carry the surface's mass
+    even when coarse and fine models agree perfectly (measured ~0.25 dB
+    on a hard-front scene; with the margin < 0.02 dB).  Symmetrically
+    for the collapse bin at the tail.
+
+    weights [M, Sc] -> (k_start [M], k_need [M]) with
+    0 <= k_start <= k_need <= Sc."""
+    nc = weights.shape[-1]
+    cum = jnp.cumsum(weights, -1)
+    rem = 1.0 - cum
+    k_need = jnp.minimum(jnp.sum(rem > eps, -1) + 2, nc)
+    k_start = jnp.maximum(jnp.sum(cum < eps, -1) - 1, 0)
+    return k_start, jnp.maximum(k_need, k_start)
+
+
+def truncation_window(z_all, z_vals, weights, n_keep: int, eps: float):
+    """Per-ray ``n_keep``-sample window of the sorted merged depths,
+    skipping leading samples with negligible mass and trailing samples
+    past the transmittance collapse (eval/frame.py's sample truncation).
+
+    The window starts at the margin-adjusted leading-mass cut
+    (truncation_bounds): every merged entry before z[k_start] — leading
+    coarse samples plus the fine samples strictly below the front bin —
+    carries estimated mass < eps in total, so dropping them changes the
+    composite by O(eps).  The caller guarantees via eval/frame.py's
+    per-ray class assignment that n_keep covers every merged sample from
+    that point to the (margin-adjusted) transmittance collapse; the
+    clamp at the array end only ever moves the window *earlier* (extra
+    low-mass leading samples, never lost tail samples).
+
+    z_all [M, S] sorted merged depths; z_vals/weights [M, Sc] coarse
+    stats -> [M, n_keep].
+    """
+    if eps > 0:
+        k_start, _ = truncation_bounds(weights, eps)            # [M]
+        nc = z_vals.shape[-1]
+        # z_vals[k_start] via one-hot select — NOT take_along_axis: TPU
+        # lowers per-row gathers to a ~50M elem/s scalar fusion (a [131k,
+        # 168] window gather measured 440 ms/call vs ~5 ms for a sort)
+        sel = jnp.arange(nc)[None, :] == jnp.minimum(k_start, nc - 1)[:, None]
+        z_cut = jnp.sum(jnp.where(sel, z_vals, 0.0), -1, keepdims=True)
+        m_start = jnp.sum(z_all < z_cut, -1)
+        m_start = jnp.clip(m_start, 0, z_all.shape[-1] - n_keep)
+        # window select, gather-free: push the m_start leading entries to
+        # +inf and re-sort (stable for the already-sorted valid suffix,
+        # which lands contiguously at the front), then slice.  The clip
+        # above guarantees >= n_keep finite entries per row, so the slice
+        # never reads a masked value.
+        masked = jnp.where(jnp.arange(z_all.shape[-1])[None, :]
+                           < m_start[:, None], jnp.inf, z_all)
+        return jnp.sort(masked, -1)[:, :n_keep]
+    return z_all[:, :n_keep]
+
+
 def hierarchical_fine_pass(fine_fn, rays_o, rays_d, z_vals, weights, key, *,
                            n_fine: int, perturb: float = 1.0,
-                           scan_impl: str = "cumprod"):
+                           scan_impl: str = "cumprod",
+                           n_keep: Optional[int] = None,
+                           trunc_eps: float = 0.0):
     """The hierarchical (fine) pass on an arbitrary set of rays, given the
     coarse sampling stats: inverse-CDF resample, merge, fine MLP, composite.
 
@@ -249,12 +316,20 @@ def hierarchical_fine_pass(fine_fn, rays_o, rays_d, z_vals, weights, key, *,
     Args:
       rays_o/rays_d: [M, 3]; z_vals: [M, Sc] coarse depths (sorted);
       weights: [M, Sc] coarse compositing weights.
+      n_keep: if set, composite only an n_keep-sample window of the sorted
+        merged depths (per-ray sample truncation, eval/frame.py):
+        trailing samples past the coarse transmittance collapse always
+        drop (error <= the coarse transmittance at the cut); with
+        trunc_eps > 0 the window also skips leading samples carrying
+        < trunc_eps cumulative coarse mass (see truncation_window).
     Returns a volume.RenderOutputs over the merged Sc+n_fine samples.
     """
     m = rays_o.shape[0]
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     z_all = hierarchical_z_vals(z_vals, weights, key, n_fine=n_fine,
                                 perturb=perturb)
+    if n_keep is not None and n_keep < z_all.shape[-1]:
+        z_all = truncation_window(z_all, z_vals, weights, n_keep, trunc_eps)
     s = z_all.shape[-1]
     xp = (rays_o.T[:, :, None] + rays_d.T[:, :, None]
           * z_all[None]).reshape(3, -1)

@@ -53,8 +53,15 @@ def _color(pts: np.ndarray) -> np.ndarray:
 
 
 def render_gt(H: int, W: int, K: np.ndarray, c2w: np.ndarray,
-              near: float, far: float, n_samples: int = 128) -> np.ndarray:
-    """Analytically volume-render the blob for one camera. [H, W, 3]."""
+              near: float, far: float, n_samples: int = 128,
+              amp: float = 8.0) -> np.ndarray:
+    """Analytically volume-render the blob for one camera. [H, W, 3].
+
+    ``amp`` is the blob's peak density: 8.0 is the soft default scene;
+    large values (e.g. 60) give a hard, surface-like opacity front the
+    way real 200k-iter photometric training does — used by the sample-
+    truncation tests, whose mechanism only engages when per-ray
+    transmittance actually collapses."""
     i, j = np.meshgrid(np.arange(W, dtype=np.float32),
                        np.arange(H, dtype=np.float32), indexing="xy")
     dirs = np.stack([(i - K[0, 2]) / K[0, 0], -(j - K[1, 2]) / K[1, 1],
@@ -64,7 +71,7 @@ def render_gt(H: int, W: int, K: np.ndarray, c2w: np.ndarray,
 
     t = np.linspace(near, far, n_samples, dtype=np.float32)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
-    sigma = _density(pts)
+    sigma = _density(pts, amp=amp)
     rgb = _color(pts)
 
     dists = np.diff(t)
@@ -95,7 +102,8 @@ def make_synth_scene(n_views: int = 8, H: int = 32, W: int = 32,
 def fit_field_to_blob(model, params, key, n_steps: int = 400,
                       n_pts: int = 8192, lr: float = 2e-3,
                       L_x: int = 10, L_d: int = 4,
-                      blob_r: float = 0.6, blob_cutoff: float = 1.8):
+                      blob_r: float = 0.6, blob_cutoff: float = 1.8,
+                      blob_amp: float = 8.0, blob_hard_w: float = 0.0):
     """Distill the analytic blob field directly into both MLPs.
 
     Photometric training on the white-background blob is ambiguous at small
@@ -128,7 +136,19 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
         d2 = jnp.sum(pts ** 2, -1) / (2 * blob_r * blob_r)
         floor = jnp.exp(-jnp.asarray(
             (blob_cutoff * blob_cutoff) / (2 * blob_r * blob_r)))
-        sig = 8.0 * jnp.maximum(jnp.exp(-d2) - floor, 0.0)
+        if blob_hard_w > 0:
+            # SURFACE-like front: full amplitude inside radius blob_cutoff
+            # with a linear ramp of width blob_hard_w (same silhouette as
+            # the gaussian).  The gaussian blob — even at large amp — ramps
+            # density over many sample bins off-center, so per-ray
+            # transmittance collapses slowly; real 200k-iter photometric
+            # training carves step-like fronts, and the sample-truncation
+            # machinery (eval/frame.py) only pays on those.
+            r = jnp.sqrt(jnp.sum(pts ** 2, -1))
+            sig = blob_amp * jnp.clip((blob_cutoff - r) / blob_hard_w,
+                                      0.0, 1.0)
+        else:
+            sig = blob_amp * jnp.maximum(jnp.exp(-d2) - floor, 0.0)
         col = 0.5 + 0.4 * jnp.stack(
             [jnp.sin(2.0 * pts[..., 0]), jnp.sin(2.0 * pts[..., 1]),
              jnp.sin(2.0 * pts[..., 2])], -1)
@@ -141,9 +161,12 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
         — essential because the 1e10 last-sample distance turns any eps>0
         density at the far plane into full opacity (real photometric
         training co-adapts sigma and color there; distillation must instead
-        guarantee hard zeros)."""
+        guarantee hard zeros).  The occupied MSE is scaled relative to the
+        blob amplitude so the returned loss (and callers' fit-quality
+        thresholds) is amplitude-invariant."""
         occ = sig_gt > 0
-        return jnp.mean(jnp.where(occ, (raw - sig_gt) ** 2,
+        rel = 8.0 / blob_amp
+        return jnp.mean(jnp.where(occ, (rel * (raw - sig_gt)) ** 2,
                                   jax.nn.relu(raw + 0.2) ** 2))
 
     def orbit_ray_points(key):

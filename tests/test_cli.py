@@ -70,6 +70,60 @@ def test_cli_end_to_end_global_batch(tmp_path, blender_root):
     assert (logd / "cli_gb_12.ckpt").is_dir()
 
 
+def _run_and_restore(tmp_path, blender_root, exp, scan_chunk, global_batch):
+    """48-iter CLI run at the given scan_chunk; returns the final params."""
+    import jax
+
+    from nerf_pytorch_paeng_tpu.train import create_train_state
+    from nerf_pytorch_paeng_tpu.train.checkpoint import restore_params_only
+
+    p = write_cfg(tmp_path, blender_root, exp_name=exp, iter_N=48,
+                  idx_save=48, idx_test=0, idx_render=0,
+                  scan_chunk=scan_chunk)
+    if global_batch:
+        body = open(p).read().replace("\nglobal_batch_false", "")
+        open(p, "w").write(body)
+    cfg = load_config(["--config", p])
+    main_worker(cfg)
+    _, state, _ = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+    return cfg, restore_params_only(cfg.logdir, cfg.exp_name, 48,
+                                    state.params)
+
+
+@pytest.mark.parametrize("global_batch", [False, True],
+                         ids=["per_image", "global_batch"])
+def test_scan_chunk_trajectory_parity(tmp_path, blender_root, global_batch):
+    """Chunked (lax.scan) stepping replays the single-step trajectory
+    exactly: the per-step key is fold_in(key, state.step), so only the
+    program structure changes.  The global-batch case crosses a pool
+    reshuffle every 12 steps (3 train views x 16x16 / 64 rays), pinning
+    the chunk/reshuffle interaction; scan_chunk=4 vs 1 at 48 iters.
+    Logged metric rows must also land on the same steps."""
+    import jax
+
+    tag = "gb" if global_batch else "pi"
+    cfg1, p_single = _run_and_restore(tmp_path, blender_root,
+                                      f"cli_scan1_{tag}", 1, global_batch)
+    cfg4, p_chunk = _run_and_restore(tmp_path, blender_root,
+                                     f"cli_scan4_{tag}", 4, global_batch)
+
+    flat1 = jax.tree_util.tree_leaves_with_path(p_single)
+    flat4 = dict(jax.tree_util.tree_leaves_with_path(p_chunk))
+    assert flat4
+    for path, leaf in flat1:
+        np.testing.assert_allclose(np.asarray(flat4[path]),
+                                   np.asarray(leaf), rtol=2e-5, atol=2e-6,
+                                   err_msg=str(path))
+
+    # same logged steps in both metric streams (mid-chunk logging works)
+    def steps(cfg):
+        lines = (tmp_path / "logs" / cfg.exp_name /
+                 "metrics.csv").read_text().splitlines()
+        return [line.split(",")[0] for line in lines[1:]]
+    assert steps(cfg1) == steps(cfg4)
+    assert "6" in steps(cfg4) and "48" in steps(cfg4)
+
+
 def test_cli_resume_and_eval_only(tmp_path, blender_root):
     p = write_cfg(tmp_path, blender_root, exp_name="cli_resume")
     cfg = load_config(["--config", p])

@@ -124,6 +124,117 @@ def test_culled_rays_branch_guard(trained_full_width):
     assert n_culled > 0.05 * acc.size, n_culled
 
 
+@pytest.fixture(scope="module")
+def trained_full_width_hard():
+    """A fitted full-width model with a HARD (surface-like) opacity front
+    — sample truncation only engages when transmittance collapses, which
+    the soft default blob never does (real 200k-iter photometric training
+    carves hard surfaces; amp=60 is the synthetic stand-in)."""
+    cfg = _cfg()
+    model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
+    params, fit_loss = fit_field_to_blob(
+        model, params0, jax.random.PRNGKey(1), n_steps=200, n_pts=2048,
+        blob_amp=60.0)
+    assert fit_loss < 0.1, fit_loss
+    return cfg, model, params
+
+
+def test_truncated_rays_branch_guard(trained_full_width_hard):
+    """Per-ray sample-window truncation through the ray-major kernels:
+    16+24 samples give truncated classes [32, 40], and chunk_rays=32 makes
+    the cover fine-grained enough that early (cheap) blocks run the
+    truncated fine kernel at a sample count (32) no other path compiles.
+    Guard: < 0.05 dB vs the same culled renderer with truncation off
+    (isolating the truncation mechanism from the cull's own silhouette
+    error on distilled hard scenes — see test_render_culled.py)."""
+    cfg, model, params = trained_full_width_hard
+    cfg = dataclasses.replace(cfg, N_samples_c=16, N_samples_f=24,
+                              chunk_rays=32)
+    from nerf_pytorch_paeng_tpu.eval.frame import _trunc_classes
+    assert _use_rays_kernels(cfg)
+    classes = _trunc_classes(40, 24, cfg.render_trunc_eps)
+    assert classes == [32, 40], classes
+    H = W = 12
+    _, K, poses = make_synth_scene(n_views=1, H=H, W=W)
+    c2w = jnp.asarray(poses[0][:3, :4])
+    key = jax.random.PRNGKey(11)
+
+    render_exact = make_frame_renderer(
+        model, dataclasses.replace(cfg, render_cull="none"), H, W, K,
+        stratified=False)
+    render_cull = make_frame_renderer(
+        model, dataclasses.replace(cfg, render_cull="auto",
+                                   render_trunc_eps=0.0), H, W, K,
+        stratified=False)
+    render_auto = make_frame_renderer(
+        model, dataclasses.replace(cfg, render_cull="auto"), H, W, K,
+        stratified=False)
+    rgb_e, _ = render_exact(params, c2w, key)
+    rgb_c, _ = render_cull(params, c2w, key)
+    rgb_a, _ = render_auto(params, c2w, key)
+
+    gt = render_gt(H, W, K, np.asarray(poses[0]), 2.0, 6.0, amp=60.0)
+    psnr_exact = _psnr(rgb_e, gt)
+    psnr_cull = _psnr(rgb_c, gt)
+    psnr_auto = _psnr(rgb_a, gt)
+    assert psnr_exact > 20.0, psnr_exact
+    assert abs(psnr_cull - psnr_auto) < 0.05, (psnr_cull, psnr_auto)
+    assert abs(psnr_exact - psnr_auto) < 0.3, (psnr_exact, psnr_auto)
+
+    # numpy oracle: a real fraction of active rays' sample WINDOW
+    # (leading-mass cut -> transmittance collapse, frame.py phase 1)
+    # fits in <= 32 merged samples, so the 32-sample fine programs
+    # genuinely had work to do
+    from nerf_pytorch_paeng_tpu.ops.rays import get_rays
+    from nerf_pytorch_paeng_tpu.ops.render import make_xla_field_fns
+    from nerf_pytorch_paeng_tpu.ops.sampling import stratified_z_vals
+    from nerf_pytorch_paeng_tpu.ops.volume import weights_from_sigma
+    ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32), c2w)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    z = stratified_z_vals(key, ro.shape[0], 2.0, 6.0, cfg.N_samples_c,
+                          perturb=False)
+    coarse_fn, _ = make_xla_field_fns(model, params, cfg)
+    xp = (ro.T[:, :, None] + rd.T[:, :, None] * z[None]).reshape(3, -1)
+    sigma = coarse_fn(xp, jnp.ones_like(xp))[3].reshape(-1, cfg.N_samples_c)
+    w = np.asarray(weights_from_sigma(sigma, z, rd))
+    acc = w.sum(-1)
+    active = acc > cfg.render_cull_tau
+    # margin-adjusted bounds (ops/render.truncation_bounds semantics)
+    cum = np.cumsum(w, -1)
+    k_need = np.minimum((1.0 - cum > cfg.render_trunc_eps).sum(-1) + 2,
+                        cfg.N_samples_c)
+    k_start = np.maximum((cum < cfg.render_trunc_eps).sum(-1) - 1, 0)
+    s_req = cfg.N_samples_f + np.maximum(k_need, k_start) - k_start
+    frac_trunc = float((s_req[active] <= 32).mean())
+    assert frac_trunc > 0.2, frac_trunc
+
+
+def test_truncated_rays_branch_on_mesh(trained_full_width_hard):
+    """Window truncation over the 8-device mesh equals the single-device
+    truncated render (deterministic sampling, same key): the sharded
+    phase-2 path must compute identical per-ray windows."""
+    from nerf_pytorch_paeng_tpu.parallel import make_mesh
+    cfg, model, params = trained_full_width_hard
+    cfg = dataclasses.replace(cfg, N_samples_c=16, N_samples_f=24,
+                              chunk_rays=32, render_cull="auto")
+    assert _use_rays_kernels(cfg)
+    H = W = 12
+    _, K, poses = make_synth_scene(n_views=1, H=H, W=W)
+    c2w = jnp.asarray(poses[0][:3, :4])
+    key = jax.random.PRNGKey(13)
+
+    single = make_frame_renderer(model, cfg, H, W, K, stratified=False)
+    rgb1, disp1 = single(params, c2w, key)
+    mesh = make_mesh(8, 1)
+    sharded = make_frame_renderer(model, cfg, H, W, K, mesh=mesh,
+                                  stratified=False)
+    rgb8, disp8 = sharded(params, c2w, key)
+    np.testing.assert_allclose(np.asarray(rgb8), np.asarray(rgb1),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(disp8), np.asarray(disp1),
+                               rtol=1e-3, atol=5e-3)
+
+
 def test_culled_rays_branch_on_mesh(trained_full_width):
     """The culled rays-kernel renderer over the 8-device mesh equals the
     single-device render (deterministic sampling, same key)."""

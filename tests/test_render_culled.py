@@ -40,8 +40,10 @@ def _psnr(a, b):
 def test_culled_render_guard_on_trained_scene():
     """PSNR(culled) within 0.05 dB of PSNR(exact) vs ground truth, with a
     meaningful fraction of rays actually culled (the blob scene has empty
-    background around the object)."""
-    cfg = _cfg()
+    background around the object).  Truncation is off here so surviving
+    rays stay bit-identical to the dense render; the truncated path has
+    its own guard below."""
+    cfg = _cfg(render_trunc_eps=0.0)
     H = W = 24
     imgs, K, poses = make_synth_scene(n_views=1, H=H, W=W)
     model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
@@ -96,6 +98,87 @@ def test_culled_render_guard_on_trained_scene():
     diff = np.abs(np.asarray(rgb_a) - np.asarray(rgb_e)).reshape(-1, 3)
     np.testing.assert_allclose(diff[active], 0.0, atol=1e-5)
     assert diff[~active].max() <= 20 * cfg.render_cull_tau
+
+
+def test_truncated_render_guard_on_trained_scene():
+    """Per-ray sample-window truncation (render_trunc_eps, the production
+    default): within 0.05 dB of the same culled renderer with truncation
+    OFF on a trained scene, while a meaningful fraction of surviving rays
+    actually runs a truncated fine program.  The blob is HARD (amp=60, a
+    surface-like opacity front the way real 200k-iter training carves) —
+    truncation only engages when per-ray transmittance genuinely
+    collapses, which the soft default blob never does."""
+    cfg = _cfg()                       # render_trunc_eps defaults on
+    H = W = 24
+    _, K, poses = make_synth_scene(n_views=1, H=H, W=W)
+    model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
+    params, fit_loss = fit_field_to_blob(model, params0, jax.random.PRNGKey(1),
+                                         n_steps=500, n_pts=8192,
+                                         L_x=cfg.L_x, L_d=cfg.L_d,
+                                         blob_amp=60.0)
+    assert fit_loss < 0.1, fit_loss
+
+    c2w = jnp.asarray(poses[0][:3, :4])
+    key = jax.random.PRNGKey(9)
+    render_exact = make_frame_renderer(
+        model, dataclasses.replace(cfg, render_cull="none"), H, W, K,
+        stratified=False)
+    # isolate the truncation mechanism from the cull: same culled
+    # renderer with truncation off vs on.  (The cull itself costs ~0.1 dB
+    # on this scene — a DISTILLATION artifact: the separately-fitted
+    # coarse/fine MLPs disagree at the hard silhouette where transmittance
+    # is a step function; real photometric training co-trains both on the
+    # same pixels.  The cull's own 0.05 dB guard lives on the soft scene
+    # above.)
+    render_cull = make_frame_renderer(
+        model, dataclasses.replace(cfg, render_cull="auto",
+                                   render_trunc_eps=0.0), H, W, K,
+        stratified=False)
+    render_trunc = make_frame_renderer(
+        model, dataclasses.replace(cfg, render_cull="auto"), H, W, K,
+        stratified=False)
+    rgb_e, _ = render_exact(params, c2w, key)
+    rgb_c, _ = render_cull(params, c2w, key)
+    rgb_t, _ = render_trunc(params, c2w, key)
+
+    gt = render_gt(H, W, K, np.asarray(poses[0]), 2.0, 6.0, amp=60.0)
+    psnr_exact = _psnr(rgb_e, gt)
+    psnr_cull = _psnr(rgb_c, gt)
+    psnr_trunc = _psnr(rgb_t, gt)
+    assert psnr_exact > 22.0, psnr_exact
+    assert abs(psnr_cull - psnr_trunc) < 0.05, (psnr_cull, psnr_trunc)
+    assert abs(psnr_exact - psnr_trunc) < 0.3, (psnr_exact, psnr_trunc)
+
+    # independently recompute per-ray sample-window requirements
+    # (leading-mass cut -> transmittance collapse, frame.py phase 1): a
+    # meaningful fraction of ACTIVE rays must fit the smallest truncated
+    # class, so truncated programs genuinely ran
+    from nerf_pytorch_paeng_tpu.eval.frame import _trunc_classes
+    from nerf_pytorch_paeng_tpu.ops.rays import get_rays
+    from nerf_pytorch_paeng_tpu.ops.render import make_xla_field_fns
+    from nerf_pytorch_paeng_tpu.ops.sampling import stratified_z_vals
+    from nerf_pytorch_paeng_tpu.ops.volume import weights_from_sigma
+    ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32), c2w)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    z = stratified_z_vals(key, ro.shape[0], 2.0, 6.0, cfg.N_samples_c,
+                          perturb=False)
+    coarse_fn, _ = make_xla_field_fns(model, params, cfg)
+    xp = (ro.T[:, :, None] + rd.T[:, :, None] * z[None]).reshape(3, -1)
+    sigma = coarse_fn(xp, jnp.ones_like(xp))[3].reshape(-1, cfg.N_samples_c)
+    w = np.asarray(weights_from_sigma(sigma, z, rd))
+    acc = w.sum(-1)
+    active = acc > cfg.render_cull_tau
+    # margin-adjusted bounds (ops/render.truncation_bounds semantics)
+    cum = np.cumsum(w, -1)
+    k_need = np.minimum((1.0 - cum > cfg.render_trunc_eps).sum(-1) + 2,
+                        cfg.N_samples_c)
+    k_start = np.maximum((cum < cfg.render_trunc_eps).sum(-1) - 1, 0)
+    s_req = cfg.N_samples_f + np.maximum(k_need, k_start) - k_start
+    classes = _trunc_classes(cfg.N_samples_c + cfg.N_samples_f,
+                             cfg.N_samples_f, cfg.render_trunc_eps)
+    assert len(classes) > 1, classes
+    frac_trunc = float((s_req[active] <= classes[0]).mean())
+    assert frac_trunc > 0.2, (frac_trunc, classes)
 
 
 def test_culled_render_untrained_and_nondivisible_frame():
