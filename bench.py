@@ -199,8 +199,11 @@ def bench_render(H: int = 800, W: int = 800, block=None,
     # collapses at the surface, engaging sample-window truncation
     # (render_trunc_eps); the soft scenes above keep their round-2/3
     # definitions for cross-round comparability
+    # 1500 fit steps: the step-like front needs ~2.5x the soft blob's
+    # distillation budget to converge (loss 0.25 -> 0.04; one scanned
+    # program either way, seconds on the chip)
     _, params_hard, _, fit_loss_hard = _train_blob_model(
-        cfg, n_steps=600, blob_amp=60.0, blob_hard_w=0.08)
+        cfg, n_steps=1500, blob_amp=60.0, blob_hard_w=0.08)
     t_auto_hard = time_renderer("auto", params_hard, tag=" (hard-surface)")
 
     flops_exact = H * W * (cfg.N_samples_c * FLOPS_PER_PT_SIGMA
