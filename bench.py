@@ -173,7 +173,12 @@ def bench_render(H: int = 800, W: int = 800, block=None,
         # shared across the three scenes, so phase-2 programs compile once
         r = get_frame_renderer(model, dataclasses.replace(cfg, render_cull=rc),
                                H, W, K, block_rays=block)
-        rgb, disp = r(prm, c2w, jax.random.PRNGKey(1))
+        # warm with the EXACT keys the timed reps use: stochastic coarse
+        # z_vals shift the per-frame (block size, sample count) cover, and
+        # an unseen phase-2 program compiles for ~1 min on the remote
+        # backend — inside the timed region, if not warmed here
+        for i in range(reps):
+            rgb, disp = r(prm, c2w, jax.random.PRNGKey(2 + i))
         _sync(rgb)
         _note(f"{rc}{tag} renderer warm")
         times = []

@@ -6,16 +6,12 @@ for llff, per-frame rgb/disp PNGs, and ``_rgb.{mp4|gif}`` /
 ``_disp.{mp4|gif}`` assembly (mp4 fps=30 quality=8, gif frame duration
 0.04s).  ``single_angle != -1`` renders one still instead.
 
-The frame loop is pipelined: frame i's device programs are dispatched
-BEFORE frame i-1's outputs are fetched and PNG-encoded, and the encodes
-run on a small IO thread pool — so host-side image IO (~0.2-0.4 s/frame
-for two 800x800 PNGs) overlaps device rendering instead of serialising
-the 120-view video path.
+The frame loop is pipelined over device render and host PNG IO — see
+eval/pipeline.py.
 """
 from __future__ import annotations
 
 import os
-from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import imageio.v2 as imageio
@@ -26,6 +22,7 @@ import numpy as np
 from ..data.render_pose import get_render_pose
 from ..utils.metrics import to8b
 from .frame import get_frame_renderer
+from .pipeline import pipelined_frames
 
 
 def run_render(idx: int, model, params, K, hw, cfg,
@@ -50,14 +47,17 @@ def run_render(idx: int, model, params, K, hw, cfg,
     poses = np.asarray(render_poses)
     rgbs = [None] * len(poses)
     disps = [None] * len(poses)
-    io_pool = ThreadPoolExecutor(max_workers=2)
-    io_futs = []
 
-    def _drain(i, rgb_dev, disp_dev):
+    def _render(i, pose):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return render(params, jnp.asarray(pose[:3, :4]), sub)
+
+    def _drain(i, out, submit):
         """Fetch frame i (already computed on device) and queue its PNG
         encodes — runs while the NEXT frame renders."""
-        rgb_np = np.asarray(rgb_dev)
-        disp_np = np.asarray(disp_dev)
+        rgb_np = np.asarray(out[0])
+        disp_np = np.asarray(out[1])
         dmax = np.nanmax(disp_np)
         disp_norm = disp_np / dmax if dmax > 0 else disp_np
         rgbs[i] = rgb_np
@@ -65,30 +65,16 @@ def run_render(idx: int, model, params, K, hw, cfg,
         if verbose:
             print(f"render view {i}/{len(poses)}")
         if cfg.single_angle != -1:
-            io_futs.append(io_pool.submit(
-                imageio.imwrite,
-                os.path.join(save_dir,
-                             f"{cfg.single_angle}_{cfg.phi}_{cfg.nf}_rgb.png"),
-                to8b(rgb_np)))
-        io_futs.append(io_pool.submit(
-            imageio.imwrite, os.path.join(save_dir, f"{i}_rgb.png"),
-            to8b(rgb_np)))
-        io_futs.append(io_pool.submit(
-            imageio.imwrite, os.path.join(save_dir, f"{i}_disp.png"),
-            to8b(disp_norm)))
+            submit(imageio.imwrite,
+                   os.path.join(save_dir,
+                                f"{cfg.single_angle}_{cfg.phi}_{cfg.nf}_rgb.png"),
+                   to8b(rgb_np))
+        submit(imageio.imwrite, os.path.join(save_dir, f"{i}_rgb.png"),
+               to8b(rgb_np))
+        submit(imageio.imwrite, os.path.join(save_dir, f"{i}_disp.png"),
+               to8b(disp_norm))
 
-    pending = None
-    for i, pose in enumerate(poses):
-        key, sub = jax.random.split(key)
-        out = render(params, jnp.asarray(pose[:3, :4]), sub)
-        if pending is not None:
-            _drain(*pending)
-        pending = (i, *out)
-    if pending is not None:
-        _drain(*pending)
-    for f in io_futs:
-        f.result()                    # surface any IO error
-    io_pool.shutdown()
+    pipelined_frames(poses, _render, _drain)
 
     rgbs = np.stack(rgbs, 0)
     disps = np.stack(disps, 0)

@@ -8,7 +8,6 @@ pose full-frame, write per-view ``{i:03d}.png`` + ``{i:03d}_disp.png``
 from __future__ import annotations
 
 import os
-from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import imageio.v2 as imageio
@@ -19,6 +18,7 @@ import numpy as np
 from ..utils.metrics import to8b
 from .frame import get_frame_renderer
 from .metrics import compute_lpips, compute_ssim, load_lpips_params
+from .pipeline import pipelined_frames
 
 
 def run_test(idx: int, model, params, test_imgs, test_poses, K, hw, cfg,
@@ -46,28 +46,38 @@ def run_test(idx: int, model, params, test_imgs, test_poses, K, hw, cfg,
         mesh=mesh)
     lpips_params = load_lpips_params(cfg.lpips_weights)
 
-    # pipelined like eval/render.py: frame i+1's device programs are
-    # dispatched before frame i's outputs are fetched, metric-ed, and
-    # PNG-encoded (encodes on an IO thread pool)
     poses = np.asarray(test_poses)
+    if len(poses) == 0:
+        # empty held-out split (llff/custom holdout settings can yield
+        # one): report cleanly instead of crashing on max()/mean() below
+        with open(os.path.join(save_dir, "_result.txt"), "w") as f:
+            f.write("no test views\n")
+        return dict(mse=[], psnr=[], ssim=[], lpips=[],
+                    mean_psnr=float("nan"), mean_ssim=float("nan"),
+                    mean_lpips=float("nan"))
+
+    # pipelined per-frame loop (eval/pipeline.py): frame i+1's device
+    # programs are dispatched before frame i is fetched, metric-ed, and
+    # PNG-encoded
     psnrs = [0.0] * len(poses)
     ssims = [0.0] * len(poses)
     lpipss = [0.0] * len(poses)
     losses = [0.0] * len(poses)
-    io_pool = ThreadPoolExecutor(max_workers=2)
-    io_futs = []
     key = jax.random.PRNGKey(cfg.seed + idx)
 
-    def _drain(i, rgb_dev, disp_dev):
-        rgb_np = np.asarray(rgb_dev)
-        disp_np = np.asarray(disp_dev)
-        io_futs.append(io_pool.submit(
-            imageio.imwrite, os.path.join(save_dir, f"{i:03d}.png"),
-            to8b(rgb_np)))
+    def _render(i, pose):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return render(params, jnp.asarray(pose[:3, :4]), sub)
+
+    def _drain(i, out, submit):
+        rgb_np = np.asarray(out[0])
+        disp_np = np.asarray(out[1])
+        submit(imageio.imwrite, os.path.join(save_dir, f"{i:03d}.png"),
+               to8b(rgb_np))
         dmax = np.nanmax(disp_np)
-        io_futs.append(io_pool.submit(
-            imageio.imwrite, os.path.join(save_dir, f"{i:03d}_disp.png"),
-            to8b(disp_np / dmax if dmax > 0 else disp_np)))
+        submit(imageio.imwrite, os.path.join(save_dir, f"{i:03d}_disp.png"),
+               to8b(disp_np / dmax if dmax > 0 else disp_np))
 
         gt = np.asarray(test_imgs[i], np.float32)
         mse = float(np.mean((rgb_np - gt) ** 2))
@@ -83,18 +93,7 @@ def run_test(idx: int, model, params, test_imgs, test_poses, K, hw, cfg,
             print(f"test view {i}: mse={mse:.6f} psnr={psnr:.2f} "
                   f"ssim={ssim:.4f} lpips={lpips:.4f}")
 
-    pending = None
-    for i, pose in enumerate(poses):
-        key, sub = jax.random.split(key)
-        out = render(params, jnp.asarray(pose[:3, :4]), sub)
-        if pending is not None:
-            _drain(*pending)
-        pending = (i, *out)
-    if pending is not None:
-        _drain(*pending)
-    for f in io_futs:
-        f.result()                    # surface any IO error
-    io_pool.shutdown()
+    pipelined_frames(poses, _render, _drain)
 
     # _result.txt in the reference's format (test.py:92-108)
     with open(os.path.join(save_dir, "_result.txt"), "w") as f:

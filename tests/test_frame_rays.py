@@ -181,14 +181,15 @@ def test_truncated_rays_branch_guard(trained_full_width_hard):
     assert abs(psnr_cull - psnr_auto) < 0.05, (psnr_cull, psnr_auto)
     assert abs(psnr_exact - psnr_auto) < 0.3, (psnr_exact, psnr_auto)
 
-    # numpy oracle: a real fraction of active rays' sample WINDOW
-    # (leading-mass cut -> transmittance collapse, frame.py phase 1)
-    # fits in <= 32 merged samples, so the 32-sample fine programs
-    # genuinely had work to do
+    # shared oracle (tests/trunc_oracle.py, incl. the mass contract): a
+    # real fraction of active rays' sample WINDOW (leading-mass cut ->
+    # transmittance collapse, frame.py phase 1) fits in <= 32 merged
+    # samples, so the 32-sample fine programs genuinely had work to do
     from nerf_pytorch_paeng_tpu.ops.rays import get_rays
     from nerf_pytorch_paeng_tpu.ops.render import make_xla_field_fns
     from nerf_pytorch_paeng_tpu.ops.sampling import stratified_z_vals
     from nerf_pytorch_paeng_tpu.ops.volume import weights_from_sigma
+    from trunc_oracle import sample_requirements
     ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32), c2w)
     ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
     z = stratified_z_vals(key, ro.shape[0], 2.0, 6.0, cfg.N_samples_c,
@@ -199,12 +200,7 @@ def test_truncated_rays_branch_guard(trained_full_width_hard):
     w = np.asarray(weights_from_sigma(sigma, z, rd))
     acc = w.sum(-1)
     active = acc > cfg.render_cull_tau
-    # margin-adjusted bounds (ops/render.truncation_bounds semantics)
-    cum = np.cumsum(w, -1)
-    k_need = np.minimum((1.0 - cum > cfg.render_trunc_eps).sum(-1) + 2,
-                        cfg.N_samples_c)
-    k_start = np.maximum((cum < cfg.render_trunc_eps).sum(-1) - 1, 0)
-    s_req = cfg.N_samples_f + np.maximum(k_need, k_start) - k_start
+    s_req = sample_requirements(w, cfg.N_samples_f, cfg.render_trunc_eps)
     frac_trunc = float((s_req[active] <= 32).mean())
     assert frac_trunc > 0.2, frac_trunc
 

@@ -149,15 +149,17 @@ def test_truncated_render_guard_on_trained_scene():
     assert abs(psnr_cull - psnr_trunc) < 0.05, (psnr_cull, psnr_trunc)
     assert abs(psnr_exact - psnr_trunc) < 0.3, (psnr_exact, psnr_trunc)
 
-    # independently recompute per-ray sample-window requirements
-    # (leading-mass cut -> transmittance collapse, frame.py phase 1): a
-    # meaningful fraction of ACTIVE rays must fit the smallest truncated
-    # class, so truncated programs genuinely ran
+    # recompute per-ray sample-window requirements through the shared
+    # oracle (tests/trunc_oracle.py — also asserts the windows' mass
+    # contract on every ray): a meaningful fraction of ACTIVE rays must
+    # fit the smallest truncated class, so truncated programs genuinely
+    # ran
     from nerf_pytorch_paeng_tpu.eval.frame import _trunc_classes
     from nerf_pytorch_paeng_tpu.ops.rays import get_rays
     from nerf_pytorch_paeng_tpu.ops.render import make_xla_field_fns
     from nerf_pytorch_paeng_tpu.ops.sampling import stratified_z_vals
     from nerf_pytorch_paeng_tpu.ops.volume import weights_from_sigma
+    from trunc_oracle import sample_requirements
     ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32), c2w)
     ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
     z = stratified_z_vals(key, ro.shape[0], 2.0, 6.0, cfg.N_samples_c,
@@ -168,12 +170,7 @@ def test_truncated_render_guard_on_trained_scene():
     w = np.asarray(weights_from_sigma(sigma, z, rd))
     acc = w.sum(-1)
     active = acc > cfg.render_cull_tau
-    # margin-adjusted bounds (ops/render.truncation_bounds semantics)
-    cum = np.cumsum(w, -1)
-    k_need = np.minimum((1.0 - cum > cfg.render_trunc_eps).sum(-1) + 2,
-                        cfg.N_samples_c)
-    k_start = np.maximum((cum < cfg.render_trunc_eps).sum(-1) - 1, 0)
-    s_req = cfg.N_samples_f + np.maximum(k_need, k_start) - k_start
+    s_req = sample_requirements(w, cfg.N_samples_f, cfg.render_trunc_eps)
     classes = _trunc_classes(cfg.N_samples_c + cfg.N_samples_f,
                              cfg.N_samples_f, cfg.render_trunc_eps)
     assert len(classes) > 1, classes
