@@ -148,11 +148,15 @@ def _train_blob_model(cfg, n_steps: int = 300, blob_r: float = 0.45,
     model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
     _note(f"fitting blob model (r={blob_r}, cutoff={blob_cutoff}, "
           f"amp={blob_amp})...")
+    # uniform_frac: also constrain never-sampled cube regions to zero
+    # density, like a well-trained multi-view model (utils/synth docstring)
+    # — the pre-cull support bounds (render_precull) need a globally
+    # compact fitted field to be valid
     params, fit_loss = fit_field_to_blob(
         model, params0, jax.random.PRNGKey(1), n_steps=n_steps,
         n_pts=8192, L_x=cfg.L_x, L_d=cfg.L_d,
         blob_r=blob_r, blob_cutoff=blob_cutoff, blob_amp=blob_amp,
-        blob_hard_w=blob_hard_w)
+        blob_hard_w=blob_hard_w, uniform_frac=0.25)
     return model, params, poses, fit_loss
 
 

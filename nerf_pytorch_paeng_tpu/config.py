@@ -162,6 +162,24 @@ class NerfConfig:
     # exact).  0 = off (full 192-sample fine blocks for every surviving
     # ray).
     render_trunc_eps: float = 1e-3
+    # phase-0 ray pre-culling inside the culled renderer (eval/frame.py):
+    # a conservative bounding volume of the COARSE field's sigma>0 support
+    # (estimated once per params on a render_precull_grid^3 grid,
+    # ops/occupancy.py) lets rays that provably sample only zero density
+    # skip the coarse MLP entirely.  A miss ray's coarse occupancy is
+    # exactly 0 (zero alpha at every sample, including the 1e10-distance
+    # last one), so this culls a subset of what render_cull_tau would cull
+    # — same trust model in the coarse field, shared <0.05 dB guard tests.
+    # Applied only for data_type == 'blender' (origin-centered orbit
+    # scenes; the support cube is [-h, h]^3 with h = render_precull_halfside
+    # or far/2 when 0).  If the support reaches the cube boundary the
+    # bounds are unusable and every ray is treated as a hit (graceful
+    # fallback to the plain tau-cull).  grid 0 = auto: 128 on a real TPU,
+    # disabled off-TPU (the grid MLP is prohibitive in Pallas interpret
+    # mode; CPU tests opt in with a small explicit grid).
+    render_precull: bool = True
+    render_precull_grid: int = 0
+    render_precull_halfside: float = 0.0
     # sample-axis (SP/context-parallel analog) sharding for full-frame
     # rendering: split each ray's sample axis over the mesh 'model' axis
     # with the distributed log-space transmittance scan (parallel/sp.py).

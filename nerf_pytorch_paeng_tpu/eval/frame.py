@@ -57,6 +57,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.nerf import NeRF
+from ..ops.occupancy import ray_hits_bounds, support_bounds_from_sigma
 from ..ops.rays import get_rays
 from ..ops.render import (_pallas_interpret, hierarchical_fine_pass,
                           hierarchical_z_vals, truncation_bounds,
@@ -172,6 +173,60 @@ def _pack_for_eval(params, cfg):
         _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
     _PACK_CACHE[id(params)] = (params, packed)
     return packed
+
+
+# id(params) -> (params, bounds) like _PACK_CACHE; bounds additionally
+# keyed by the cfg scalars they depend on (one params tree can serve
+# several renderer configs in one process — tests do this)
+_SUPPORT_CACHE: dict = {}
+
+
+def _precull_grid(cfg) -> int:
+    """Support-grid resolution; cfg 0 = auto (128 on a real TPU, disabled
+    off-TPU where the grid MLP would run in Pallas interpret mode)."""
+    g = int(getattr(cfg, "render_precull_grid", 0))
+    if g:
+        return g
+    return 128 if jax.default_backend() == "tpu" else 0
+
+
+def _use_precull(cfg) -> bool:
+    """Phase-0 support-bounds ray pre-culling (ops/occupancy.py): blender
+    orbit scenes only — the support cube is centered at the origin."""
+    return (getattr(cfg, "render_precull", False)
+            and cfg.data_type == "blender" and _precull_grid(cfg) > 0)
+
+
+def _support_for_eval(model, params, cfg):
+    """(lo, hi, radius, valid) support bounds of the coarse field, as ONE
+    jitted grid program per params (cached by params identity, like
+    _pack_for_eval).  ``params`` is the packed tree on the Pallas path and
+    the raw flax tree on the XLA path — either way its identity is stable
+    across frames, so the grid MLP runs once per params change."""
+    half = float(getattr(cfg, "render_precull_halfside", 0.0)) or (
+        float(cfg.far) / 2.0)
+    grid = _precull_grid(cfg)
+    use_pallas = _supports_pallas(cfg)
+    ck = (id(params), half, grid, cfg.L_x, use_pallas,
+          cfg.netDepth, cfg.netWidth)
+    hit = _SUPPORT_CACHE.get(ck)
+    if hit is not None and hit[0] is params:
+        return hit[1]
+
+    @jax.jit
+    def _prog(p):
+        if use_pallas:
+            sigma_fn = make_pallas_sigma_fn(p["packed_coarse"], cfg)
+        else:
+            coarse_fn, _ = make_xla_field_fns(model, p, cfg)
+            sigma_fn = lambda xp: coarse_fn(xp, jnp.ones_like(xp))[3]
+        return support_bounds_from_sigma(sigma_fn, half, grid=grid)
+
+    bounds = _prog(params)
+    if len(_SUPPORT_CACHE) >= 16:
+        _SUPPORT_CACHE.pop(next(iter(_SUPPORT_CACHE)))
+    _SUPPORT_CACHE[ck] = (params, bounds)
+    return bounds
 
 
 def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
@@ -611,14 +666,10 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     else:
         coarse_fn_b = _coarse_body
 
-    @jax.jit
-    def _phase1(params, c2w, key):
-        """ONE program: ray generation, coarse stats for every ray, the
-        cull decision, per-ray sample requirements, and the background
-        composite for culled rays."""
-        rays_o, rays_d = gen_rays(c2w)
-        key = jax.random.fold_in(key, 0)
-        z_vals, weights = coarse_fn_b(params, rays_o, rays_d, key)
+    def _stats_tail(z_vals, weights):
+        """Cull decision + per-ray sample requirements + background
+        composite, from per-ray coarse stats (traced; shared by the
+        single-program phase 1 and the pre-culled phase-1 tail)."""
         acc = jnp.sum(weights, -1)
         # padding rays never survive
         acc = jnp.where(jnp.arange(acc.shape[0]) < n_total, acc, -1.0)
@@ -651,8 +702,71 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         mean_depth = depth / jnp.maximum(acc, 1e-10)
         disp0 = jnp.minimum(1.0 / jnp.maximum(1e-10, mean_depth), DISP_CLAMP)
         disp0 = jnp.where(acc <= 0.0, 0.0, disp0)
+        return order, class_cum, rgb0, disp0
+
+    @jax.jit
+    def _phase1(params, c2w, key):
+        """ONE program: ray generation, coarse stats for every ray, the
+        cull decision, per-ray sample requirements, and the background
+        composite for culled rays."""
+        rays_o, rays_d = gen_rays(c2w)
+        key = jax.random.fold_in(key, 0)
+        z_vals, weights = coarse_fn_b(params, rays_o, rays_d, key)
+        order, class_cum, rgb0, disp0 = _stats_tail(z_vals, weights)
         return (rays_o, rays_d, z_vals, weights, order, class_cum,
                 rgb0, disp0)
+
+    # ---- phase-0 pre-cull programs (cfg.render_precull; module docstring
+    # of ops/occupancy.py): rays whose [near, far] segment provably misses
+    # the coarse field's sigma>0 support skip the coarse MLP entirely.
+    @jax.jit
+    def _phase0(c2w, lo, hi, radius, valid):
+        """Ray generation + conservative bounds test.  Hit rays first in
+        ``order0``; ONE small host fetch of the hit count.  The stat
+        buffers start as (linspace z, zero weights): a zero-weight row
+        composites to exactly the white background in the tail, and any
+        miss ray a later block touches anyway (phase-1/2 cover overhang)
+        renders the real field — zero density along it — so every path
+        agrees on miss rays."""
+        rays_o, rays_d = gen_rays(c2w)
+        hit = ray_hits_bounds(rays_o, rays_d, lo, hi, radius, valid,
+                              near, far)
+        hit = hit & (jnp.arange(rays_o.shape[0]) < n_total)
+        order0 = jnp.argsort(jnp.where(hit, 0, 1))
+        n_hit = jnp.sum(hit)
+        z_buf = jnp.broadcast_to(
+            jnp.linspace(near, far, n_coarse, dtype=jnp.float32)[None],
+            (rays_o.shape[0], n_coarse))
+        w_buf = jnp.zeros((rays_o.shape[0], n_coarse), jnp.float32)
+        return rays_o, rays_d, order0, n_hit, z_buf, w_buf
+
+    def _make_phase1_block(blk):
+        @functools.partial(jax.jit, donate_argnums=(5, 6))
+        def _p1(params, rays_o, rays_d, order0, start, z_buf, w_buf, key):
+            """Coarse stats for one compacted block of bounds-hit rays,
+            scattered into the (donated) full-frame stat buffers —
+            phase 2 then gathers by original ray id exactly as in the
+            non-preculled path."""
+            idx = jax.lax.dynamic_slice_in_dim(order0, start, blk, 0)
+            key = jax.random.fold_in(jax.random.fold_in(key, 2), start)
+            z_vals, weights = coarse_fn_b(params, rays_o[idx], rays_d[idx],
+                                          key)
+            return z_buf.at[idx].set(z_vals), w_buf.at[idx].set(weights)
+
+        return _p1
+
+    _phase1_blocks: dict = {}
+
+    def _get_phase1_block(sz):
+        fn = _phase1_blocks.get(sz)
+        if fn is None:
+            fn = _make_phase1_block(sz)
+            _phase1_blocks[sz] = fn
+        return fn
+
+    @jax.jit
+    def _phase1_tail(z_buf, w_buf):
+        return _stats_tail(z_buf, w_buf)
 
     def _make_phase2(blk, s_keep):
         fine_fn_b = _wrap_fine(None if s_keep >= s_full else s_keep)
@@ -694,23 +808,31 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
             _phase2_cache[(sz, s_keep)] = fn
         return fn
 
+    def _cover_plain(n: int):
+        """Greedy (start, size) decomposition covering >= n rays with the
+        mixed block sizes (waste in the final partial block bounded by the
+        smallest size)."""
+        g = _sizes[-1]
+        rem = -(-n // g) * g
+        out, pos = [], 0
+        for sz in _sizes:
+            while rem >= sz:
+                out.append((pos, sz))
+                pos += sz
+                rem -= sz
+        return out
+
     def _cover(n_act: int, cum):
         """Greedy (start, size, s_keep) decomposition covering >= n_act
         rays.  The block's sample count is the class of its LAST covered
         active ray (rays are sorted ascending by s_req, so it bounds every
         ray in the block); overhang rays past n_act are culled rays whose
         value is tau-bounded regardless."""
-        g = _sizes[-1]
-        rem = -(-n_act // g) * g
-        out, pos = [], 0
-        for sz in _sizes:
-            while rem >= sz:
-                end = min(pos + sz, n_act)
-                s_keep = next(c for c, cc in zip(s_classes, cum)
-                              if cc >= end)
-                out.append((pos, sz, s_keep))
-                pos += sz
-                rem -= sz
+        out = []
+        for pos, sz in _cover_plain(n_act):
+            end = min(pos + sz, n_act)
+            s_keep = next(c for c, cc in zip(s_classes, cum) if cc >= end)
+            out.append((pos, sz, s_keep))
         return out
 
     @jax.jit
@@ -718,9 +840,24 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         return (rgb_frame[:n_total].reshape(H, W, 3),
                 disp_frame[:n_total].reshape(H, W))
 
+    use_precull = _use_precull(cfg)
+
     def _render(params, c2w, key):
-        (rays_o, rays_d, z_all, w_all, order, class_cum, rgb_frame,
-         disp_frame) = _phase1(params, jnp.asarray(c2w), key)
+        c2w = jnp.asarray(c2w)
+        if use_precull:
+            bounds = _support_for_eval(model, params, cfg)
+            (rays_o, rays_d, order0, n_hit, z_all,
+             w_all) = _phase0(c2w, *bounds)
+            n_hit = int(np.asarray(n_hit))        # host sync 1 of 2
+            for start, sz in _cover_plain(n_hit):
+                z_all, w_all = _get_phase1_block(sz)(
+                    params, rays_o, rays_d, order0, start, z_all, w_all,
+                    key)
+            order, class_cum, rgb_frame, disp_frame = _phase1_tail(
+                z_all, w_all)
+        else:
+            (rays_o, rays_d, z_all, w_all, order, class_cum, rgb_frame,
+             disp_frame) = _phase1(params, c2w, key)
         cum = np.asarray(class_cum)               # one host sync per frame
         n_act = int(cum[-1])
         for start, sz, s_keep in _cover(n_act, cum):

@@ -1,0 +1,138 @@
+"""Conservative support bounds of the coarse density field, for ray
+pre-culling in the occupancy-culled frame renderer (eval/frame.py).
+
+A ray whose [near, far] sample segment never touches the set
+``{x : relu(sigma_raw(x)) > 0}`` has coarse alpha == 0 at EVERY sample —
+including the last one, whose 1e10 NeRF bin distance (ops/volume.py,
+reference nerf_process.py:95) would otherwise blow any positive tail
+density up to full opacity.  Its coarse occupancy is therefore exactly 0
+<= tau, i.e. the tau-cull of eval/frame.py would cull it anyway; testing
+rays against a *bounding volume* of that support lets the renderer skip
+the coarse MLP for such rays entirely (phase 0), which is where most of
+the per-frame MLP time goes on mostly-empty frames.
+
+The support is estimated by evaluating the coarse density logit on a
+G^3 grid over a scene cube and dilating the occupied mask by one cell in
+every direction.  Grid sampling can in principle miss sub-cell positive
+pockets between grid points — the same empirical trust the tau-cull
+places in the coarse model (config.py render_cull notes); both mechanisms
+share the end-to-end <0.05 dB guard tests.  If the dilated support
+touches the cube boundary (density reaching the edge of the sampled
+region — e.g. background fog, or a scene larger than the cube), the
+bounds are flagged invalid and the renderer treats every ray as a hit
+(graceful fallback to the plain tau-cull).
+
+Geometry assumption: the scene cube is centered at the origin, which
+holds for the blender/orbit convention (cameras orbit the origin,
+reference dataset/render_pose.py); eval/frame.py enables pre-culling for
+``data_type == 'blender'`` only.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def support_bounds_from_sigma(sigma_plane_fn, half_side: float,
+                              grid: int = 128):
+    """Bounding volume of {x : sigma_raw(x) > 0} within the origin cube
+    [-half_side, half_side]^3.
+
+    Args:
+      sigma_plane_fn: ``xplane [3, P] -> sigma_raw [P]`` (density logits,
+        pre-relu — eval/frame.py passes the coarse sigma kernel).
+      half_side: cube half-extent. eval/frame.py uses (far - near) / 2,
+        which covers every sample of every inward-facing orbit ray.
+      grid: cells per axis (the MLP sees grid^3 points — 2M at 128, a few
+        ms of sigma-kernel time on a v5e).
+
+    Returns (trace-friendly; all on-device):
+      lo [3], hi [3]: dilated AABB of the occupied cells (cell OUTER
+        corners, so the box covers the cells fully);
+      radius [1]: bounding-sphere radius around the AABB center, from the
+        occupied cells' outer-corner distances (the sphere cuts the box's
+        empty corners for blob-like content);
+      valid [1] bool: False when nothing is occupied or the dilated
+        support touches the cube boundary (bounds unusable — treat every
+        ray as a hit).
+    """
+    cell = 2.0 * half_side / grid
+    centers = (jnp.arange(grid, dtype=jnp.float32) + 0.5) * cell - half_side
+    # feature-major [3, G^3] plane, x fastest — order is irrelevant to the
+    # reductions below, but keep it deterministic for debugging
+    gx, gy, gz = jnp.meshgrid(centers, centers, centers, indexing="ij")
+    xplane = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], 0)
+    occ = (sigma_plane_fn(xplane).astype(jnp.float32) > 0.0)
+    occ = occ.reshape(grid, grid, grid)
+
+    # dilate by one cell per axis (6-neighborhood closure of the mask —
+    # covers sub-cell spill of a feature sampled near a cell face)
+    def dil(m, axis):
+        z = jnp.zeros_like(jnp.take(m, jnp.arange(1), axis=axis))
+        lo = jnp.concatenate([jnp.take(m, jnp.arange(1, grid), axis=axis), z],
+                             axis=axis)
+        hi = jnp.concatenate([z, jnp.take(m, jnp.arange(grid - 1), axis=axis)],
+                             axis=axis)
+        return m | lo | hi
+
+    for ax in (0, 1, 2):
+        occ = dil(occ, ax)
+
+    any_occ = jnp.any(occ)
+    # per-axis occupied index ranges -> AABB over cell outer corners
+    idx = jnp.arange(grid, dtype=jnp.float32)
+    axes_other = ((1, 2), (0, 2), (0, 1))
+    lo_list, hi_list = [], []
+    touches = jnp.zeros((), bool)
+    for ax in (0, 1, 2):
+        line = jnp.any(occ, axis=axes_other[ax])            # [G]
+        i_lo = jnp.min(jnp.where(line, idx, grid))
+        i_hi = jnp.max(jnp.where(line, idx, -1.0))
+        lo_list.append(i_lo * cell - half_side)
+        hi_list.append((i_hi + 1.0) * cell - half_side)
+        touches = touches | line[0] | line[-1]
+    lo = jnp.stack(lo_list)
+    hi = jnp.stack(hi_list)
+
+    # bounding sphere around the AABB center over occupied cell centers,
+    # padded by the cell half-diagonal so cell corners are covered
+    c = 0.5 * (lo + hi)
+    pts = jnp.stack([gx, gy, gz], -1)                        # [G,G,G,3]
+    d2 = jnp.sum((pts - c) ** 2, -1)
+    r = jnp.sqrt(jnp.max(jnp.where(occ, d2, 0.0))) + cell * jnp.sqrt(3.0) / 2
+    valid = any_occ & ~touches
+    return lo, hi, r.reshape(1), valid.reshape(1)
+
+
+def ray_hits_bounds(rays_o, rays_d, lo, hi, radius, valid,
+                    near: float, far: float):
+    """Conservative hit test of ray segments against the support bounds.
+
+    True when the segment {o + t d : t in [near, far]} intersects BOTH the
+    AABB [lo, hi] and the bounding sphere (center = AABB center) — pure
+    slab/quadratic vector math, no gathers (TPU-friendly).  With
+    ``valid == False`` every ray reports a hit.
+
+    rays_o/rays_d [M, 3] -> hit [M] bool.
+    """
+    inv = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12,
+                          jnp.where(rays_d < 0, -1e-12, 1e-12), rays_d)
+    t1 = (lo[None] - rays_o) * inv
+    t2 = (hi[None] - rays_o) * inv
+    t_in = jnp.max(jnp.minimum(t1, t2), -1)
+    t_out = jnp.min(jnp.maximum(t1, t2), -1)
+    t_in = jnp.maximum(t_in, near)
+    t_out = jnp.minimum(t_out, far)
+    hit_box = t_in <= t_out
+
+    # sphere |o + t d - c|^2 <= r^2 for some t in [near, far]: closest
+    # point of the segment to the center
+    c = 0.5 * (lo + hi)
+    oc = rays_o - c[None]
+    dd = jnp.sum(rays_d * rays_d, -1)
+    t_star = -jnp.sum(oc * rays_d, -1) / jnp.maximum(dd, 1e-12)
+    t_star = jnp.clip(t_star, near, far)
+    closest = oc + rays_d * t_star[:, None]
+    hit_sph = jnp.sum(closest * closest, -1) <= radius[0] ** 2
+
+    return (hit_box & hit_sph) | ~valid[0]

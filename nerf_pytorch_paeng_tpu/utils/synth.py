@@ -103,7 +103,9 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
                       n_pts: int = 8192, lr: float = 2e-3,
                       L_x: int = 10, L_d: int = 4,
                       blob_r: float = 0.6, blob_cutoff: float = 1.8,
-                      blob_amp: float = 8.0, blob_hard_w: float = 0.0):
+                      blob_amp: float = 8.0, blob_hard_w: float = 0.0,
+                      uniform_frac: float = 0.0,
+                      uniform_halfside: float = 3.2):
     """Distill the analytic blob field directly into both MLPs.
 
     Photometric training on the white-background blob is ambiguous at small
@@ -116,6 +118,17 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
     the raw density logit to sigma where occupied and below a -0.2 hinge
     margin where empty (see sigma_loss), the raw color logits to
     logit(color).  Returns (fitted params, final loss).
+
+    ``uniform_frac > 0`` additionally draws that share of extra points
+    uniformly in the cube [-uniform_halfside, +uniform_halfside]^3: with
+    ray-only sampling the MLP extrapolates arbitrary positive density
+    into never-sampled regions (cube corners, poles), unlike a
+    well-trained multi-view model whose empty space is carved wherever
+    any training ray looks.  Callers that need a globally-compact fitted
+    support — the pre-cull bounds of ops/occupancy.py measure it — opt
+    in (bench.py, tests/test_precull.py); at small step budgets the extra
+    hinge objective slightly softens the blob fit, so it stays off by
+    default for the cheap test fixtures.
     """
     import jax
     import jax.numpy as jnp
@@ -191,6 +204,16 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
         t = jax.random.uniform(kz, (n_pts,), jnp.float32, near, far)
         pts = center + t[:, None] * d
         dirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        if uniform_frac > 0:
+            n_uni = max(1, int(n_pts * uniform_frac))
+            ku2, kd2 = jax.random.split(jax.random.fold_in(kz, 1))
+            upts = jax.random.uniform(ku2, (n_uni, 3), jnp.float32,
+                                      -uniform_halfside, uniform_halfside)
+            udir = jax.random.normal(kd2, (n_uni, 3), jnp.float32)
+            udir = udir / (jnp.linalg.norm(udir, axis=-1, keepdims=True)
+                           + 1e-9)
+            pts = jnp.concatenate([pts, upts], 0)
+            dirs = jnp.concatenate([dirs, udir], 0)
         return pts, dirs
 
     def step(carry, i):
