@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""A/B the phase-0 support-bounds pre-cull on the bench render scenes
+(real TPU): culled renderer with render_precull on vs off, per scene.
+
+Timing per CLAUDE.md: pipelined dispatch, hard sync via value fetch,
+best-of-reps, warm with the exact keys the timed reps use.
+"""
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _note(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", file=sys.stderr, flush=True)
+
+
+def _sync(x):
+    return float(jnp.asarray(x).ravel()[0])
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    from bench import _train_blob_model
+    from nerf_pytorch_paeng_tpu.config import NerfConfig
+    from nerf_pytorch_paeng_tpu.eval.frame import (_support_for_eval,
+                                                   get_frame_renderer)
+    from nerf_pytorch_paeng_tpu.ops.occupancy import ray_hits_bounds
+    from nerf_pytorch_paeng_tpu.ops.rays import get_rays
+
+    H = W = 800
+    reps = 3
+    cfg = NerfConfig(near=2.0, far=6.0)
+    focal = 0.9 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
+
+    scenes = {}
+    model, params, poses, fl = _train_blob_model(cfg)
+    scenes["std"] = (model, params)
+    _, params_hi, _, fl_hi = _train_blob_model(cfg, blob_r=0.54,
+                                               blob_cutoff=1.62)
+    scenes["hi"] = (model, params_hi)
+    _, params_hard, _, fl_hard = _train_blob_model(
+        cfg, n_steps=1500, blob_amp=60.0, blob_hard_w=0.08)
+    scenes["hard"] = (model, params_hard)
+    _note(f"fits: std={fl:.4f} hi={fl_hi:.4f} hard={fl_hard:.4f}")
+    c2w = jnp.asarray(poses[0][:3, :4])
+
+    for name, (model, prm) in scenes.items():
+        for pre in (False, True):
+            r = get_frame_renderer(
+                model, dataclasses.replace(cfg, render_precull=pre), H, W, K)
+            for i in range(reps):
+                rgb, disp = r(prm, c2w, jax.random.PRNGKey(2 + i))
+            _sync(rgb)
+            times = []
+            for i in range(reps):
+                t0 = time.perf_counter()
+                rgb, disp = r(prm, c2w, jax.random.PRNGKey(2 + i))
+                _sync(rgb)
+                times.append(time.perf_counter() - t0)
+            print(f"{name} precull={int(pre)}: {min(times)*1e3:7.1f} ms "
+                  f"(mean rgb {float(jnp.mean(rgb)):.4f})", flush=True)
+        # miss fraction + guard: precull frame vs tau-cull frame PSNR delta
+        from nerf_pytorch_paeng_tpu.eval.frame import _pack_for_eval
+        packed = _pack_for_eval(prm, cfg)
+        bounds = _support_for_eval(model, packed, cfg)
+        ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32), c2w)
+        hit = np.asarray(ray_hits_bounds(
+            ro.reshape(-1, 3), rd.reshape(-1, 3), *bounds, 2.0, 6.0))
+        r_off = get_frame_renderer(
+            model, dataclasses.replace(cfg, render_precull=False), H, W, K)
+        r_on = get_frame_renderer(
+            model, dataclasses.replace(cfg, render_precull=True), H, W, K)
+        k = jax.random.PRNGKey(2)
+        a = np.asarray(r_off(prm, c2w, k)[0])
+        b = np.asarray(r_on(prm, c2w, k)[0])
+        mse = float(np.mean((a - b) ** 2))
+        d_db = -10 * np.log10(max(mse, 1e-12))
+        print(f"{name}: valid={bool(bounds[3][0])} "
+              f"miss={float((~hit).mean()):.3f} "
+              f"precull-vs-cull agreement {d_db:.1f} dB", flush=True)
+
+
+if __name__ == "__main__":
+    main()
