@@ -172,11 +172,14 @@ class NerfConfig:
     # — same trust model in the coarse field, shared <0.05 dB guard tests.
     # Applied only for data_type == 'blender' (origin-centered orbit
     # scenes; the support cube is [-h, h]^3 with h = render_precull_halfside
-    # or far/2 when 0).  If the support reaches the cube boundary the
-    # bounds are unusable and every ray is treated as a hit (graceful
-    # fallback to the plain tau-cull).  grid 0 = auto: 128 on a real TPU,
-    # disabled off-TPU (the grid MLP is prohibitive in Pallas interpret
-    # mode; CPU tests opt in with a small explicit grid).
+    # or far when 0).  Rays whose [near, far] sample segment leaves the
+    # cube are never pre-culled (the grid carries no density information
+    # outside it), and if the support reaches the cube boundary the
+    # bounds are unusable and the renderer falls back to the plain
+    # tau-cull — either way a bad cube costs coverage, not correctness.
+    # grid 0 = auto: 128 on a real TPU, disabled off-TPU (the grid MLP is
+    # prohibitive in Pallas interpret mode; CPU tests opt in with a small
+    # explicit grid).
     render_precull: bool = True
     render_precull_grid: int = 0
     render_precull_halfside: float = 0.0

@@ -57,7 +57,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.nerf import NeRF
-from ..ops.occupancy import ray_hits_bounds, support_bounds_from_sigma
+from ..ops.occupancy import (ray_hits_bounds, segment_in_cube,
+                             support_bounds_from_sigma)
 from ..ops.rays import get_rays
 from ..ops.render import (_pallas_interpret, hierarchical_fine_pass,
                           hierarchical_z_vals, truncation_bounds,
@@ -197,36 +198,57 @@ def _use_precull(cfg) -> bool:
             and cfg.data_type == "blender" and _precull_grid(cfg) > 0)
 
 
+def _precull_half(cfg) -> float:
+    """Estimation-cube half-extent: cfg override, else ``far`` (contains
+    blender-orbit sample segments — ops/occupancy.py half_side notes)."""
+    return (float(getattr(cfg, "render_precull_halfside", 0.0))
+            or float(cfg.far))
+
+
+# compiled grid programs, shared across params (a fresh params tree per
+# eval hook must NOT recompile the grid program — remote compiles cost
+# 20-60 s, CLAUDE.md)
+_SUPPORT_PROGS: dict = {}
+
+
 def _support_for_eval(model, params, cfg):
-    """(lo, hi, radius, valid) support bounds of the coarse field, as ONE
-    jitted grid program per params (cached by params identity, like
-    _pack_for_eval).  ``params`` is the packed tree on the Pallas path and
-    the raw flax tree on the XLA path — either way its identity is stable
-    across frames, so the grid MLP runs once per params change."""
-    half = float(getattr(cfg, "render_precull_halfside", 0.0)) or (
-        float(cfg.far) / 2.0)
+    """((lo, hi, radius, valid), valid_host) support bounds of the coarse
+    field.  The grid program is compiled once per config (cached on the
+    cfg scalars, like get_frame_renderer) and run once per params change
+    (result cached by params identity, like _pack_for_eval); ``params``
+    is the packed tree on the Pallas path and the raw flax tree on the
+    XLA path — either way its identity is stable across frames.
+    ``valid_host`` is a python bool (one device fetch per params change)
+    so the renderer can skip the whole phase-0 structure when the bounds
+    are unusable."""
+    half = _precull_half(cfg)
     grid = _precull_grid(cfg)
     use_pallas = _supports_pallas(cfg)
-    ck = (id(params), half, grid, cfg.L_x, use_pallas,
-          cfg.netDepth, cfg.netWidth)
+    pk = (_cfg_cache_key(cfg), half, grid, use_pallas)
+    ck = (id(params),) + pk
     hit = _SUPPORT_CACHE.get(ck)
     if hit is not None and hit[0] is params:
-        return hit[1]
+        return hit[1], hit[2]
 
-    @jax.jit
-    def _prog(p):
-        if use_pallas:
-            sigma_fn = make_pallas_sigma_fn(p["packed_coarse"], cfg)
-        else:
-            coarse_fn, _ = make_xla_field_fns(model, p, cfg)
-            sigma_fn = lambda xp: coarse_fn(xp, jnp.ones_like(xp))[3]
-        return support_bounds_from_sigma(sigma_fn, half, grid=grid)
+    prog = _SUPPORT_PROGS.get(pk)
+    if prog is None:
+        def _prog(p):
+            if use_pallas:
+                sigma_fn = make_pallas_sigma_fn(p["packed_coarse"], cfg)
+            else:
+                coarse_fn, _ = make_xla_field_fns(model, p, cfg)
+                sigma_fn = lambda xp: coarse_fn(xp, jnp.ones_like(xp))[3]
+            return support_bounds_from_sigma(sigma_fn, half, grid=grid)
 
-    bounds = _prog(params)
+        prog = jax.jit(_prog)
+        _SUPPORT_PROGS[pk] = prog
+
+    bounds = prog(params)
+    valid = bool(np.asarray(bounds[3][0]))
     if len(_SUPPORT_CACHE) >= 16:
         _SUPPORT_CACHE.pop(next(iter(_SUPPORT_CACHE)))
-    _SUPPORT_CACHE[ck] = (params, bounds)
-    return bounds
+    _SUPPORT_CACHE[ck] = (params, bounds, valid)
+    return bounds, valid
 
 
 def make_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
@@ -719,18 +741,23 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     # ---- phase-0 pre-cull programs (cfg.render_precull; module docstring
     # of ops/occupancy.py): rays whose [near, far] segment provably misses
     # the coarse field's sigma>0 support skip the coarse MLP entirely.
+    _half_pc = _precull_half(cfg)
+
     @jax.jit
     def _phase0(c2w, lo, hi, radius, valid):
         """Ray generation + conservative bounds test.  Hit rays first in
-        ``order0``; ONE small host fetch of the hit count.  The stat
-        buffers start as (linspace z, zero weights): a zero-weight row
-        composites to exactly the white background in the tail, and any
-        miss ray a later block touches anyway (phase-1/2 cover overhang)
-        renders the real field — zero density along it — so every path
-        agrees on miss rays."""
+        ``order0``; ONE small host fetch of the hit count.  Rays whose
+        sample segment leaves the estimation cube are never pre-culled
+        (the grid saw nothing out there — ops/occupancy.segment_in_cube).
+        The stat buffers start as (linspace z, zero weights): a
+        zero-weight row composites to exactly the white background in the
+        tail, and any miss ray a later block touches anyway (phase-1/2
+        cover overhang) renders the real field — zero density along it —
+        so every path agrees on miss rays."""
         rays_o, rays_d = gen_rays(c2w)
         hit = ray_hits_bounds(rays_o, rays_d, lo, hi, radius, valid,
                               near, far)
+        hit = hit | ~segment_in_cube(rays_o, rays_d, _half_pc, near, far)
         hit = hit & (jnp.arange(rays_o.shape[0]) < n_total)
         order0 = jnp.argsort(jnp.where(hit, 0, 1))
         n_hit = jnp.sum(hit)
@@ -844,8 +871,10 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
 
     def _render(params, c2w, key):
         c2w = jnp.asarray(c2w)
+        bounds_valid = False
         if use_precull:
-            bounds = _support_for_eval(model, params, cfg)
+            bounds, bounds_valid = _support_for_eval(model, params, cfg)
+        if bounds_valid:
             (rays_o, rays_d, order0, n_hit, z_all,
              w_all) = _phase0(c2w, *bounds)
             n_hit = int(np.asarray(n_hit))        # host sync 1 of 2

@@ -22,6 +22,14 @@ region — e.g. background fog, or a scene larger than the cube), the
 bounds are flagged invalid and the renderer treats every ray as a hit
 (graceful fallback to the plain tau-cull).
 
+The grid carries NO information about density outside the cube, so a
+miss verdict is only trustworthy for rays whose whole [near, far] sample
+segment stays inside the cube: the caller must compose the hit test with
+``segment_in_cube`` (``hit | ~inside``) — eval/frame.py's phase 0 does.
+An MLP with spurious density beyond the cube (common mid-training, where
+the field is unsupervised away from the sampled frustum) then costs
+pre-cull coverage, never correctness.
+
 Geometry assumption: the scene cube is centered at the origin, which
 holds for the blender/orbit convention (cameras orbit the origin,
 reference dataset/render_pose.py); eval/frame.py enables pre-culling for
@@ -41,8 +49,12 @@ def support_bounds_from_sigma(sigma_plane_fn, half_side: float,
     Args:
       sigma_plane_fn: ``xplane [3, P] -> sigma_raw [P]`` (density logits,
         pre-relu — eval/frame.py passes the coarse sigma kernel).
-      half_side: cube half-extent. eval/frame.py uses (far - near) / 2,
-        which covers every sample of every inward-facing orbit ray.
+      half_side: cube half-extent.  eval/frame.py defaults to ``far``,
+        large enough that blender-convention orbit rays' sample segments
+        are contained (camera radius ~4, far 6 -> samples within ~5.2 of
+        the origin); rays that do leave the cube are exempted from
+        pre-culling via ``segment_in_cube``, so a too-small cube costs
+        coverage, not correctness.
       grid: cells per axis (the MLP sees grid^3 points — 2M at 128, a few
         ms of sigma-kernel time on a v5e).
 
@@ -136,3 +148,20 @@ def ray_hits_bounds(rays_o, rays_d, lo, hi, radius, valid,
     hit_sph = jnp.sum(closest * closest, -1) <= radius[0] ** 2
 
     return (hit_box & hit_sph) | ~valid[0]
+
+
+def segment_in_cube(rays_o, rays_d, half_side: float,
+                    near: float, far: float):
+    """True when the ENTIRE segment {o + t d : t in [near, far]} lies in
+    the estimation cube [-half_side, half_side]^3.  Both the segment and
+    the cube are convex, so endpoint containment suffices.  Only for
+    contained segments does ``support_bounds_from_sigma`` certify the
+    field along the ray (module docstring); the renderer pre-culls
+    ``~hit & inside`` rays only.
+
+    rays_o/rays_d [M, 3] -> inside [M] bool.
+    """
+    a = rays_o + near * rays_d
+    b = rays_o + far * rays_d
+    return (jnp.all(jnp.abs(a) <= half_side, -1)
+            & jnp.all(jnp.abs(b) <= half_side, -1))

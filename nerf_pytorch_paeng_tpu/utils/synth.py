@@ -105,7 +105,7 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
                       blob_r: float = 0.6, blob_cutoff: float = 1.8,
                       blob_amp: float = 8.0, blob_hard_w: float = 0.0,
                       uniform_frac: float = 0.0,
-                      uniform_halfside: float = 3.2):
+                      uniform_halfside: float = 6.0):
     """Distill the analytic blob field directly into both MLPs.
 
     Photometric training on the white-background blob is ambiguous at small
@@ -115,12 +115,14 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
     need a *trained model with genuine empties* (occupancy culling), we
     instead regress each MLP's raw outputs to the analytic field at points
     sampled along orbit-camera rays (exactly where rendering will look):
-    the raw density logit to sigma where occupied and below a -0.2 hinge
+    the raw density logit to sigma where occupied and below a hinge
     margin where empty (see sigma_loss), the raw color logits to
     logit(color).  Returns (fitted params, final loss).
 
     ``uniform_frac > 0`` additionally draws that share of extra points
-    uniformly in the cube [-uniform_halfside, +uniform_halfside]^3: with
+    uniformly in the cube [-uniform_halfside, +uniform_halfside]^3 (the
+    default matches the pre-cull estimation cube, half = far = 6 for the
+    standard near/far — eval/frame._precull_half): with
     ray-only sampling the MLP extrapolates arbitrary positive density
     into never-sampled regions (cube corners, poles), unlike a
     well-trained multi-view model whose empty space is carved wherever
@@ -168,19 +170,33 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
         raw_col = jnp.log(col) - jnp.log1p(-col)          # logit
         return sig, raw_col
 
-    def sigma_loss(raw, sig_gt):
-        """MSE where occupied; a hinge (raw <= -margin) where empty.  The
-        hinge makes relu(raw) *exactly* 0 in empty space despite fit error
-        — essential because the 1e10 last-sample distance turns any eps>0
-        density at the far plane into full opacity (real photometric
-        training co-adapts sigma and color there; distillation must instead
-        guarantee hard zeros).  The occupied MSE is scaled relative to the
-        blob amplitude so the returned loss (and callers' fit-quality
-        thresholds) is amplitude-invariant."""
-        occ = sig_gt > 0
-        rel = 8.0 / blob_amp
-        return jnp.mean(jnp.where(occ, (rel * (raw - sig_gt)) ** 2,
-                                  jax.nn.relu(raw + 0.2) ** 2))
+    def make_sigma_loss(margin: float, lin_w: float):
+        def sigma_loss(raw, sig_gt):
+            """MSE where occupied; a hinge (raw <= -margin) where empty.
+            The hinge makes relu(raw) *exactly* 0 in empty space despite
+            fit error — essential because the 1e10 last-sample distance
+            turns any eps>0 density at the far plane into full opacity
+            (real photometric training co-adapts sigma and color there;
+            distillation must instead guarantee hard zeros).  The occupied
+            MSE is scaled relative to the blob amplitude so the returned
+            loss (and callers' fit-quality thresholds) is amplitude-
+            invariant.
+
+            The main fit uses the soft squared hinge at margin 0.2 (a
+            deeper/linear hinge sharpens the silhouette ring and degrades
+            the coarse/fine agreement the tau-cull guard relies on); the
+            polish phase uses margin 0.5 with a linear term — the squared
+            term's gradient vanishes near the margin, which would leave
+            isolated straggler bumps slightly positive, and the support
+            grid reads any raw > 0 as occupied."""
+            occ = sig_gt > 0
+            rel = 8.0 / blob_amp
+            viol = jax.nn.relu(raw + margin)
+            # per-point (the polish phase masks before reducing)
+            return jnp.where(occ, (rel * (raw - sig_gt)) ** 2,
+                             viol ** 2 + lin_w * viol)
+
+        return sigma_loss
 
     def orbit_ray_points(key):
         """Sample training points exactly where rendering will look: along
@@ -202,13 +218,36 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
         d = (x * (u / focal_frac)[:, None] + y * (-v / focal_frac)[:, None]
              - z)
         t = jax.random.uniform(kz, (n_pts,), jnp.float32, near, far)
+        if uniform_frac > 0:
+            # globally-compact mode: blur the view cone (direction noise,
+            # amplified by t) so the ray-point budget also hinges the
+            # off-frustum volume — uniform points alone visit each
+            # support-grid cell of the estimation cube less than once
+            # over a whole fit, which leaves smooth junk bumps between
+            # them and invalidates the pre-cull bounds (the support grid
+            # probes 128^3 cells; measured in round 3)
+            d = d + 0.35 * jax.random.normal(
+                jax.random.fold_in(kz, 2), d.shape, jnp.float32)
         pts = center + t[:, None] * d
         dirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         if uniform_frac > 0:
-            n_uni = max(1, int(n_pts * uniform_frac))
+            n_uni = max(2, int(n_pts * uniform_frac))
             ku2, kd2 = jax.random.split(jax.random.fold_in(kz, 1))
-            upts = jax.random.uniform(ku2, (n_uni, 3), jnp.float32,
-                                      -uniform_halfside, uniform_halfside)
+            # two-cube mixture: half the points in an inner cube around
+            # the ray-sampled region (dense pressure where junk density
+            # costs render quality), half over the full estimation cube
+            # (sparse pressure so the pre-cull support grid sees a clean
+            # outer shell; the MLP's extrapolated junk is smooth, so
+            # sparse coverage suffices)
+            k_in, k_out = jax.random.split(ku2)
+            inner = min(3.2, uniform_halfside)
+            n_in = n_uni // 2
+            upts = jnp.concatenate([
+                jax.random.uniform(k_in, (n_in, 3), jnp.float32,
+                                   -inner, inner),
+                jax.random.uniform(k_out, (n_uni - n_in, 3), jnp.float32,
+                                   -uniform_halfside, uniform_halfside),
+            ], 0)
             udir = jax.random.normal(kd2, (n_uni, 3), jnp.float32)
             udir = udir / (jnp.linalg.norm(udir, axis=-1, keepdims=True)
                            + 1e-9)
@@ -216,32 +255,82 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
             dirs = jnp.concatenate([dirs, udir], 0)
         return pts, dirs
 
-    def step(carry, i):
-        params, opt = carry
-        pts, dirs = orbit_ray_points(jax.random.fold_in(key, i))
-        sig_gt, raw_col = field_gt(pts)
-        emb = jnp.concatenate([positional_encoding(pts, L_x),
-                               positional_encoding(dirs, L_d)], -1)
+    def polish_points(key_i):
+        """Dense full-cube sweep batch for the final polish phase: mostly
+        uniform over the whole estimation cube (hinge pressure every
+        support-grid region), with a blob-ball share so the occupied
+        regression stays anchored while the trunk weights move."""
+        kb, ko = jax.random.split(key_i)
+        n_swp = 4 * n_pts
+        n_blob = n_swp // 4
+        bpts = jax.random.normal(kb, (n_blob, 3), jnp.float32) * (
+            0.6 * blob_cutoff)
+        upts = jax.random.uniform(ko, (n_swp - n_blob, 3), jnp.float32,
+                                  -uniform_halfside, uniform_halfside)
+        pts = jnp.concatenate([bpts, upts], 0)
+        dirs = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1e-9)
+        return pts, dirs
 
-        def loss_fn(p):
-            tot = 0.0
-            for method in (NeRF.coarse_fwd, NeRF.fine_fwd):
-                raw = model.apply({"params": p}, emb, method=method)
-                tot = (tot + sigma_loss(raw[:, 3], sig_gt)
-                       + jnp.mean((raw[:, :3] - raw_col) ** 2))
-            return tot
+    def make_step(pts_fn, sigma_loss, polish: bool = False):
+        def step(carry, i):
+            params, opt = carry
+            pts, dirs = pts_fn(jax.random.fold_in(key, i))
+            sig_gt, raw_col = field_gt(pts)
+            emb = jnp.concatenate([positional_encoding(pts, L_x),
+                                   positional_encoding(dirs, L_d)], -1)
+            if polish:
+                # the polish phase must not retouch the silhouette band:
+                # its deep hinge right outside the cutoff ring sharpens
+                # the density front, growing the coarse/fine disagreement
+                # the tau-cull guard (<0.05 dB) depends on.  Only the far
+                # field (where the junk stragglers live) gets swept.
+                r = jnp.sqrt(jnp.sum(pts ** 2, -1))
+                far_field = r > blob_cutoff + 0.6
+            else:
+                far_field = None
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt = tx.update(grads, opt, params)
-        return (optax.apply_updates(params, updates), opt), loss
+            def loss_fn(p):
+                tot = 0.0
+                occ = (sig_gt > 0)[:, None]
+                for method in (NeRF.coarse_fwd, NeRF.fine_fwd):
+                    raw = model.apply({"params": p}, emb, method=method)
+                    ce = (raw[:, :3] - raw_col) ** 2
+                    sl = sigma_loss(raw[:, 3], sig_gt)
+                    if polish:
+                        # color supervision only where occupied, sigma
+                        # pressure only in the far field — regressing the
+                        # whole empty cube drags the shared trunk and
+                        # spawns NEW sigma junk faster than it sweeps
+                        ce = jnp.where(occ, ce, 0.0)
+                        sl = jnp.where(occ[:, 0] | far_field, sl, 0.0)
+                    tot = tot + jnp.mean(sl) + jnp.mean(ce)
+                return tot
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt, params)
+            return (optax.apply_updates(params, updates), opt), loss
+
+        return step
 
     # one compiled program for the whole fit: per-step host dispatch costs
-    # ~ms-to-seconds through the remote-TPU tunnel, a scan costs nothing
+    # ~ms-to-seconds through the remote-TPU tunnel, a scan costs nothing.
+    # In globally-compact mode the main fit ends with a polish phase of
+    # dense full-cube hinge sweeps: stragglers that re-grew between rare
+    # visits during the main fit get swept, and nothing trains after, so
+    # the support grid reads a clean shell (measured necessary at the
+    # production 128^3 grid).
     @jax.jit
     def run(params, opt):
-        (params, _), losses = jax.lax.scan(step, (params, opt),
-                                           jnp.arange(n_steps))
-        return params, losses[-1]
+        carry, losses = jax.lax.scan(
+            make_step(orbit_ray_points, make_sigma_loss(0.2, 0.0)),
+            (params, opt), jnp.arange(n_steps))
+        if uniform_frac > 0:
+            n_pol = max(n_steps // 8, 40)
+            carry, _ = jax.lax.scan(
+                make_step(polish_points, make_sigma_loss(0.5, 0.5),
+                          polish=True), carry,
+                n_steps + 7919 + jnp.arange(n_pol))
+        return carry[0], losses[-1]
 
     params, loss = run(params, opt)
     return params, float(loss)

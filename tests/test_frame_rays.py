@@ -253,3 +253,58 @@ def test_culled_rays_branch_on_mesh(trained_full_width):
                                rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(disp8), np.asarray(disp1),
                                rtol=1e-3, atol=5e-3)
+
+
+@pytest.fixture(scope="module")
+def trained_full_width_compact():
+    """A fitted full-width model with GLOBALLY compact support (the
+    uniform-hinge + polish mode), so the pre-cull support bounds are
+    valid — the quick ray-only fixture above leaves off-frustum junk."""
+    cfg = _cfg(render_precull_grid=16)
+    model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
+    params, fit_loss = fit_field_to_blob(
+        model, params0, jax.random.PRNGKey(1), n_steps=250, n_pts=2048,
+        uniform_frac=0.25)
+    assert fit_loss < 0.1, fit_loss
+    return cfg, model, params
+
+
+def test_precull_pallas_support_path(trained_full_width_compact):
+    """_support_for_eval's PACKED branch — the production TPU path: the
+    support grid program must run through make_pallas_sigma_fn on the
+    packed coarse tree (interpret mode here), yield valid bounds on the
+    compact fit, and the pre-culled rays-kernel frame must equal the
+    tau-culled one.  No other suite test executes that branch."""
+    from nerf_pytorch_paeng_tpu.eval.frame import (_pack_for_eval,
+                                                   _support_for_eval,
+                                                   _use_precull)
+    cfg, model, params = trained_full_width_compact
+    assert _use_precull(cfg) and _use_rays_kernels(cfg)
+
+    packed = _pack_for_eval(params, cfg)
+    assert "packed_coarse" in packed
+    bounds, valid = _support_for_eval(model, packed, cfg)
+    assert valid
+    assert all(np.isfinite(np.asarray(b)).all() for b in bounds[:3])
+
+    H = W = 16
+    _, K, poses = make_synth_scene(n_views=1, H=H, W=W)
+    c2w = jnp.asarray(poses[0][:3, :4])
+    key = jax.random.PRNGKey(5)
+    r_pre = make_frame_renderer(model, cfg, H, W, K, stratified=False)
+    r_cull = make_frame_renderer(
+        model, dataclasses.replace(cfg, render_precull=False), H, W, K,
+        stratified=False)
+    rgb_p, disp_p = r_pre(params, c2w, key)
+    rgb_c, disp_c = r_cull(params, c2w, key)
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_c),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(disp_p), np.asarray(disp_c),
+                               atol=1e-4)
+
+    # No miss-fraction assert here: a 250-step full-width fit keeps loose
+    # near-support spill (AABB ~±2), so this frame typically runs all-hit
+    # through phase 0.  That still covers the packed support program and
+    # the P0/P1-block/tail structure through the rays kernels; genuine
+    # hit/miss compaction is covered by tests/test_precull.py (XLA path,
+    # tighter 4x64 fits) and the synthetic-bounds mesh test there.

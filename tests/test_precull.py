@@ -21,16 +21,20 @@ from nerf_pytorch_paeng_tpu.eval.frame import (_use_precull,
                                                make_frame_renderer)
 from nerf_pytorch_paeng_tpu.models import init_nerf
 from nerf_pytorch_paeng_tpu.ops.occupancy import (ray_hits_bounds,
+                                                  segment_in_cube,
                                                   support_bounds_from_sigma)
 from nerf_pytorch_paeng_tpu.utils.synth import (fit_field_to_blob,
                                                 make_synth_scene, render_gt)
 
 
 def _cfg(**kw):
+    # grid 48 over the default half=far cube -> 0.25 cells, the same
+    # bound resolution the pre-half=far tests had (48^3 sigma pts is
+    # still cheap on the CPU XLA path)
     base = dict(netDepth=4, netWidth=64, L_x=6, L_d=2,
                 N_samples_c=16, N_samples_f=24, near=2.0, far=6.0,
                 compute_dtype="float32", chunk_rays=256, perturb=0.0,
-                render_cull="auto", render_precull_grid=24)
+                render_cull="auto", render_precull_grid=48)
     base.update(kw)
     return NerfConfig(**base)
 
@@ -112,11 +116,15 @@ def test_ray_hits_bounds_is_conservative():
 
 
 def _fit_scene(cfg, H, W):
+    # 1000 steps: at 500 the separately-distilled coarse/fine MLPs still
+    # disagree at the blob silhouette in compact (uniform_frac) mode and
+    # the tau-cull costs ~0.24 dB vs exact; at 1000 they re-converge and
+    # the <0.05 dB guard genuinely measures the cull mechanism
     imgs, K, poses = make_synth_scene(n_views=1, H=H, W=W)
     model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
     params, fit_loss = fit_field_to_blob(model, params0,
                                          jax.random.PRNGKey(1),
-                                         n_steps=500, n_pts=8192,
+                                         n_steps=1000, n_pts=8192,
                                          L_x=cfg.L_x, L_d=cfg.L_d,
                                          uniform_frac=0.25)
     assert fit_loss < 0.1, fit_loss
@@ -153,13 +161,18 @@ def test_preculled_render_matches_culled():
     assert abs(_psnr(rgb_e, gt) - _psnr(rgb_p, gt)) < 0.05
 
     # the bounds must actually reject rays on this scene (empty corners)
-    from nerf_pytorch_paeng_tpu.eval.frame import _support_for_eval
+    from nerf_pytorch_paeng_tpu.eval.frame import (_precull_half,
+                                                   _support_for_eval)
     from nerf_pytorch_paeng_tpu.ops.rays import get_rays
-    bounds = _support_for_eval(model, params, cfg)
-    assert bool(bounds[3][0])                # valid on the distilled blob
+    bounds, valid = _support_for_eval(model, params, cfg)
+    assert valid                             # valid on the distilled blob
     ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32), c2w)
-    hit = ray_hits_bounds(ro.reshape(-1, 3), rd.reshape(-1, 3), *bounds,
-                          2.0, 6.0)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    # this geometry's segments are contained in the default cube, so the
+    # containment guard costs no coverage here
+    assert bool(jnp.all(segment_in_cube(ro, rd, _precull_half(cfg),
+                                        2.0, 6.0)))
+    hit = ray_hits_bounds(ro, rd, *bounds, 2.0, 6.0)
     n_miss = int((~np.asarray(hit)).sum())
     # the default blob almost fills this frustum — only frame corners miss
     # (the meaningful-fraction check lives on the smaller blob below)
@@ -185,8 +198,8 @@ def test_precull_misses_meaningfully_on_small_blob():
 
     from nerf_pytorch_paeng_tpu.eval.frame import _support_for_eval
     from nerf_pytorch_paeng_tpu.ops.rays import get_rays
-    bounds = _support_for_eval(model, params, cfg)
-    assert bool(bounds[3][0])
+    bounds, valid = _support_for_eval(model, params, cfg)
+    assert valid
     ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32), c2w)
     hit = np.asarray(ray_hits_bounds(ro.reshape(-1, 3), rd.reshape(-1, 3),
                                      *bounds, 2.0, 6.0))
@@ -205,8 +218,16 @@ def test_precull_misses_meaningfully_on_small_blob():
                                atol=1e-4)
 
 
-def test_preculled_render_on_mesh_matches_single():
-    """P0/P1-block structure under an 8-device mesh == single device."""
+def test_preculled_render_on_mesh_matches_single(monkeypatch):
+    """P0/P1-block structure under an 8-device mesh == single device.
+
+    Synthetic VALID ball bounds are injected (the untrained model's real
+    bounds are invalid, which would route both renderers to the dense
+    coarse path): single-vs-mesh equality only needs both paths to apply
+    the SAME pre-cull, so this exercises the sharded phase-0 compaction
+    with a genuine hit/miss mix regardless of field content."""
+    from nerf_pytorch_paeng_tpu.eval import frame as F
+    from nerf_pytorch_paeng_tpu.ops.rays import get_rays
     from nerf_pytorch_paeng_tpu.parallel import make_mesh
     cfg = _cfg(netDepth=2, netWidth=32, L_x=4, L_d=2, N_samples_c=8,
                N_samples_f=8, chunk_rays=32, render_cull_tau=0.5,
@@ -216,6 +237,16 @@ def test_preculled_render_on_mesh_matches_single():
     model, params = init_nerf(cfg, jax.random.PRNGKey(0))
     c2w = jnp.asarray(poses[0][:3, :4])
     key = jax.random.PRNGKey(1)
+
+    bounds = (jnp.asarray([-1.5, -1.5, -1.5]), jnp.asarray([1.5, 1.5, 1.5]),
+              jnp.asarray([2.0]), jnp.asarray([True]))
+    monkeypatch.setattr(F, "_support_for_eval",
+                        lambda model, params, cfg: (bounds, True))
+    ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32), c2w)
+    hit = np.asarray(ray_hits_bounds(ro.reshape(-1, 3), rd.reshape(-1, 3),
+                                     *bounds, 2.0, 6.0))
+    assert hit.any() and (~hit).any()        # genuine compaction mix
+
     single = make_frame_renderer(model, cfg, H, W, K, stratified=False)
     rgb1, disp1 = single(params, c2w, key)
     mesh = make_mesh(8, 1)
@@ -226,6 +257,79 @@ def test_preculled_render_on_mesh_matches_single():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(disp8), np.asarray(disp1),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_segment_in_cube():
+    """Endpoint containment == dense-sample containment (both convex)."""
+    rng = np.random.default_rng(3)
+    o = rng.normal(size=(256, 3)) * 3.0
+    d = rng.normal(size=(256, 3))
+    near, far, half = 2.0, 6.0, 4.0
+    inside = np.asarray(segment_in_cube(
+        jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+        half, near, far))
+    t = np.linspace(near, far, 512)
+    pts = o[:, None, :] + d[:, None, :] * t[None, :, None]
+    brute = (np.abs(pts) <= half + 1e-5).all(-1).all(-1)
+    brute_strict = (np.abs(pts) <= half - 1e-5).all(-1).all(-1)
+    assert not (inside & ~brute).any()       # no false "contained"
+    assert not (brute_strict & ~inside).any()
+    assert inside.any() and (~inside).any()
+
+
+def test_small_cube_costs_coverage_not_correctness():
+    """With an estimation cube too small to contain the camera orbit's
+    sample segments, rays that exit the cube must be exempt from
+    pre-culling (hit | ~inside), and the rendered frame must still equal
+    the tau-culled one exactly."""
+    from nerf_pytorch_paeng_tpu.eval.frame import (_precull_half,
+                                                   _support_for_eval)
+    from nerf_pytorch_paeng_tpu.ops.rays import get_rays
+    cfg = _cfg(render_precull_halfside=2.0)
+    H = W = 16
+    model, params, K, poses = _fit_scene(cfg, H, W)
+    c2w = jnp.asarray(poses[0][:3, :4])
+
+    bounds, valid = _support_for_eval(model, params, cfg)
+    ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32), c2w)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    inside = np.asarray(segment_in_cube(ro, rd, _precull_half(cfg),
+                                        2.0, 6.0))
+    # radius-4 cameras with far=6: off-center segments leave a [-2, 2]^3
+    # cube, so the guard must be doing real work on this geometry
+    assert (~inside).any()
+
+    key = jax.random.PRNGKey(9)
+    r_pre = make_frame_renderer(model, cfg, H, W, K, stratified=False)
+    r_cull = make_frame_renderer(
+        model, dataclasses.replace(cfg, render_precull=False), H, W, K,
+        stratified=False)
+    rgb_p, disp_p = r_pre(params, c2w, key)
+    rgb_c, disp_c = r_cull(params, c2w, key)
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_c),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(disp_p), np.asarray(disp_c),
+                               atol=1e-4)
+
+
+def test_support_program_reused_across_params():
+    """The grid program must compile once per config, not once per params
+    tree (fresh params per eval hook -> a 20-60 s remote compile each
+    would defeat the renderer cache)."""
+    from nerf_pytorch_paeng_tpu.eval import frame as F
+    cfg = _cfg()
+    model, params_a = init_nerf(cfg, jax.random.PRNGKey(0))
+    _, params_b = init_nerf(cfg, jax.random.PRNGKey(1))
+    F._SUPPORT_PROGS.clear()
+    F._SUPPORT_CACHE.clear()
+    F._support_for_eval(model, params_a, cfg)
+    assert len(F._SUPPORT_PROGS) == 1
+    F._support_for_eval(model, params_b, cfg)
+    assert len(F._SUPPORT_PROGS) == 1        # same compiled program
+    assert len(F._SUPPORT_CACHE) == 2        # per-params results
+    # cached result path: same params object -> no new entries
+    F._support_for_eval(model, params_b, cfg)
+    assert len(F._SUPPORT_CACHE) == 2
 
 
 def test_precull_invalid_bounds_fallback():

@@ -66,23 +66,32 @@ def main():
                 times.append(time.perf_counter() - t0)
             print(f"{name} precull={int(pre)}: {min(times)*1e3:7.1f} ms "
                   f"(mean rgb {float(jnp.mean(rgb)):.4f})", flush=True)
-        # miss fraction + guard: precull frame vs tau-cull frame PSNR delta
-        from nerf_pytorch_paeng_tpu.eval.frame import _pack_for_eval
+        # miss fraction + guard: precull frame vs tau-cull frame PSNR
+        # delta.  stratified=False for the comparison renderers — the two
+        # paths draw coarse jitter from different fold_in streams, so a
+        # stratified comparison would only measure Monte-Carlo noise.
+        from nerf_pytorch_paeng_tpu.eval.frame import (_pack_for_eval,
+                                                       _precull_half)
+        from nerf_pytorch_paeng_tpu.ops.occupancy import segment_in_cube
         packed = _pack_for_eval(prm, cfg)
-        bounds = _support_for_eval(model, packed, cfg)
+        bounds, valid = _support_for_eval(model, packed, cfg)
         ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32), c2w)
-        hit = np.asarray(ray_hits_bounds(
-            ro.reshape(-1, 3), rd.reshape(-1, 3), *bounds, 2.0, 6.0))
+        ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+        hit = np.asarray(ray_hits_bounds(ro, rd, *bounds, 2.0, 6.0)
+                         | ~segment_in_cube(ro, rd, _precull_half(cfg),
+                                            2.0, 6.0))
         r_off = get_frame_renderer(
-            model, dataclasses.replace(cfg, render_precull=False), H, W, K)
+            model, dataclasses.replace(cfg, render_precull=False), H, W, K,
+            stratified=False)
         r_on = get_frame_renderer(
-            model, dataclasses.replace(cfg, render_precull=True), H, W, K)
+            model, dataclasses.replace(cfg, render_precull=True), H, W, K,
+            stratified=False)
         k = jax.random.PRNGKey(2)
         a = np.asarray(r_off(prm, c2w, k)[0])
         b = np.asarray(r_on(prm, c2w, k)[0])
         mse = float(np.mean((a - b) ** 2))
         d_db = -10 * np.log10(max(mse, 1e-12))
-        print(f"{name}: valid={bool(bounds[3][0])} "
+        print(f"{name}: valid={valid} "
               f"miss={float((~hit).mean()):.3f} "
               f"precull-vs-cull agreement {d_db:.1f} dB", flush=True)
 
