@@ -84,16 +84,13 @@ def main_worker(cfg: NerfConfig) -> None:
     # ---- 2. model + optimizer + state -----------------------------------
     model, state, tx = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
     params = shard_params(state.params, mesh, cfg.n_model_shards)
-    opt_state = jax.jit(tx.init)(params)
-    state = state._replace(params=params, opt_state=opt_state)
-    # commit every uncommitted leaf (see parallel.commit_replicated: an
-    # uncommitted first call costs a second multi-minute compile)
-    state = commit_replicated(state, mesh)
 
     # ---- standalone eval/render (testing_idx, no training) ---------------
+    # (before optimizer init: eval needs only a params template, and the
+    # remote jit(tx.init) compile costs 20-60 s it would never use)
     if cfg.eval_only or cfg.render_only:
         params = restore_params_only(cfg.logdir, cfg.exp_name,
-                                     cfg.testing_idx, state.params)
+                                     cfg.testing_idx, params)
         if cfg.eval_only:
             run_test(cfg.testing_idx, model, params, images[i_test],
                      extrinsics[i_test], K, hw, cfg, mesh=mesh)
@@ -102,6 +99,12 @@ def main_worker(cfg: NerfConfig) -> None:
                        render_poses=_llff_render_poses_34(render_poses),
                        mesh=mesh)
         return
+
+    opt_state = jax.jit(tx.init)(params)
+    state = state._replace(params=params, opt_state=opt_state)
+    # commit every uncommitted leaf (see parallel.commit_replicated: an
+    # uncommitted first call costs a second multi-minute compile)
+    state = commit_replicated(state, mesh)
 
     # ---- 3. resume -------------------------------------------------------
     if cfg.iter_start != 0:
@@ -232,7 +235,8 @@ def main_worker(cfg: NerfConfig) -> None:
         # current schedule value (update e used schedule(e-1)); logged
         # so long runs evidence the traversed warmup-cosine schedule
         metrics = {**metrics, "lr": float(sched_fn(e - 1))}
-        logger.log(e, metrics, to_stdout=(e % cfg.idx_print == 0),
+        logger.log(e, metrics,
+                   to_stdout=bool(cfg.idx_print and e % cfg.idx_print == 0),
                    n_rays=cfg.N_rays)
 
     pbar = trange(cfg.iter_start + 1, cfg.iter_N + 1)
@@ -265,9 +269,10 @@ def main_worker(cfg: NerfConfig) -> None:
                 state, mstack = chunk_fn(
                     state, i_imgs, step_key,
                     precrop=bool(i < cfg.precrop_iters))
+            # idx_vis/idx_print 0 = off, like the idx_save/test/render knobs
             log_js = [j for j in range(chunk)
-                      if (i + j) % cfg.idx_vis == 0
-                      or (i + j) % cfg.idx_print == 0]
+                      if (cfg.idx_vis and (i + j) % cfg.idx_vis == 0)
+                      or (cfg.idx_print and (i + j) % cfg.idx_print == 0)]
             if log_js:
                 mhost = jax.device_get(mstack)   # ONE host transfer
                 for j in log_js:
@@ -282,7 +287,8 @@ def main_worker(cfg: NerfConfig) -> None:
                 state, metrics = step_fn(
                     state, i_img, step_key,
                     precrop=bool(i < cfg.precrop_iters))
-            if i % cfg.idx_vis == 0 or i % cfg.idx_print == 0:
+            if (cfg.idx_vis and i % cfg.idx_vis == 0) or (
+                    cfg.idx_print and i % cfg.idx_print == 0):
                 _log_step(i, metrics)
 
         last = i + chunk - 1      # hooks fire on the chunk's final iter

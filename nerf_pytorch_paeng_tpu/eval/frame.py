@@ -480,7 +480,7 @@ def _make_sp_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
-    from ..parallel.sp import composite_sample_sharded
+    from ..parallel.sp import sp_coarse_fine
 
     n_sp = int(cfg.sp_shards)
     assert mesh is not None and MODEL_AXIS in mesh.axis_names, (
@@ -505,36 +505,14 @@ def _make_sp_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         return make_xla_field_fns(model, params, cfg)
 
     def _sp_body(params, rays_o, rays_d, z_local, key):
-        from ..ops.render import hierarchical_z_vals
+        # shared SP coarse+fine body (parallel/sp.sp_coarse_fine) — one
+        # implementation for the demo API and this production path
         coarse_fn, fine_fn = _field_fns(params)
-        idx = jax.lax.axis_index(MODEL_AXIS)
-        m = rays_o.shape[0]
-        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-
-        def field_planes(fn, z):
-            s = z.shape[-1]
-            xp = (rays_o.T[:, :, None]
-                  + rays_d.T[:, :, None] * z[None]).reshape(3, -1)
-            dp = jnp.broadcast_to(viewdirs.T[:, :, None],
-                                  (3, m, s)).reshape(3, -1)
-            return fn(xp, dp).reshape(4, m, s)
-
-        out_c = composite_sample_sharded(
-            field_planes(coarse_fn, z_local), z_local, rays_d, MODEL_AXIS)
-        if n_fine <= 0:
-            return out_c.rgb, out_c.disp
-        w_full = jax.lax.all_gather(out_c.weights, MODEL_AXIS,
-                                    axis=-1, tiled=True)
-        z_full = jax.lax.all_gather(z_local, MODEL_AXIS,
-                                    axis=-1, tiled=True)
-        z_all = hierarchical_z_vals(z_full, w_full, key,
-                                    n_fine=n_fine, perturb=perturb)
-        s_loc = z_all.shape[-1] // jax.lax.axis_size(MODEL_AXIS)
-        z_f_local = jax.lax.dynamic_slice_in_dim(
-            z_all, idx * s_loc, s_loc, axis=-1)
-        out_f = composite_sample_sharded(
-            field_planes(fine_fn, z_f_local), z_f_local, rays_d, MODEL_AXIS)
-        return out_f.rgb, out_f.disp
+        out_c, out_f = sp_coarse_fine(
+            coarse_fn, fine_fn, rays_o, rays_d, z_local, key,
+            n_fine=n_fine, perturb=perturb, axis_name=MODEL_AXIS)
+        out = out_c if out_f is None else out_f
+        return out.rgb, out.disp
 
     ray_spec = P(DATA_AXIS) if n_data > 1 else P()
     z_spec = (P(DATA_AXIS, MODEL_AXIS) if n_data > 1

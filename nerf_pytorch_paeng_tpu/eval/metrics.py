@@ -111,7 +111,9 @@ def load_lpips_params(path: str) -> Optional[Dict[str, np.ndarray]]:
             f"{path} is not a valid LPIPS weights file: missing "
             f"{sorted(missing)[:4]}... (re-export with "
             "tools/export_lpips_weights.py)")
-    return data
+    # pin on device once: the jitted per-frame LPIPS graph would
+    # otherwise re-upload ~60 MB of numpy VGG weights every view
+    return {k: jnp.asarray(v) for k, v in data.items()}
 
 
 def _vgg_features(x: jnp.ndarray, params: Dict[str, jnp.ndarray]):
@@ -135,11 +137,12 @@ def _vgg_features(x: jnp.ndarray, params: Dict[str, jnp.ndarray]):
     return feats
 
 
-def compute_lpips(pred: jnp.ndarray, gt: jnp.ndarray,
-                  params: Optional[Dict[str, np.ndarray]]) -> float:
-    """LPIPS-VGG between two [H, W, 3] images in [0,1]; nan if no weights."""
-    if params is None:
-        return float("nan")
+@jax.jit
+def _lpips_graph(pred: jnp.ndarray, gt: jnp.ndarray,
+                 params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    # jitted: the ~40-op VGG graph runs per eval FRAME — eager it would
+    # be ~40 tunnel dispatches per view on the remote backend (CLAUDE.md:
+    # anything on a per-frame path must be inside jit)
     fp = _vgg_features(pred[None], params)
     fg = _vgg_features(gt[None], params)
     total = 0.0
@@ -149,4 +152,12 @@ def compute_lpips(pred: jnp.ndarray, gt: jnp.ndarray,
         d = (a - b) ** 2                                    # [1,H,W,C]
         lin = params[f"lin{i}_w"].reshape(1, 1, 1, -1)      # 1x1 conv weights
         total = total + jnp.mean(jnp.sum(d * lin, axis=-1))
-    return float(total)
+    return total
+
+
+def compute_lpips(pred: jnp.ndarray, gt: jnp.ndarray,
+                  params: Optional[Dict[str, np.ndarray]]) -> float:
+    """LPIPS-VGG between two [H, W, 3] images in [0,1]; nan if no weights."""
+    if params is None:
+        return float("nan")
+    return float(_lpips_graph(jnp.asarray(pred), jnp.asarray(gt), params))

@@ -123,6 +123,63 @@ def make_sample_sharded_render(field_fn, mesh: Mesh,
     return jax.jit(sm)
 
 
+def sp_coarse_fine(coarse_fn, fine_fn, rays_o, rays_d, z_local, key, *,
+                   n_fine: int, perturb: float,
+                   axis_name: str = MODEL_AXIS):
+    """The shared SP coarse(+fine) body — call inside shard_map with the
+    sample axis of ``z_local`` sharded over ``axis_name``.  Used by both
+    make_sample_sharded_render_full below and the production frame
+    renderer (eval/frame._make_sp_frame_renderer), so fixes land once.
+
+    Returns ``(out_c, out_f)`` RenderOutputs (out_f is None when
+    ``n_fine <= 0``); rgb/disp/acc are full-ray values replicated across
+    the sample shards.
+    """
+    from ..ops.render import hierarchical_z_vals
+
+    idx = jax.lax.axis_index(axis_name)
+    n_sh = jax.lax.axis_size(axis_name)
+    n, _ = z_local.shape
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    def field_planes(fn, z):
+        s = z.shape[-1]
+        xp = (rays_o.T[:, :, None]
+              + rays_d.T[:, :, None] * z[None]).reshape(3, -1)
+        dp = jnp.broadcast_to(viewdirs.T[:, :, None],
+                              (3, n, s)).reshape(3, -1)
+        return fn(xp, dp).reshape(4, n, s)
+
+    # -- coarse pass on the local sample slice ------------------------------
+    out_c = composite_sample_sharded(
+        field_planes(coarse_fn, z_local), z_local, rays_d, axis_name)
+    if n_fine <= 0:
+        return out_c, None
+
+    # -- global hierarchical resample (replicated: every shard computes
+    # the same z_all from the gathered weights and the shared key) ----------
+    w_full = jax.lax.all_gather(out_c.weights, axis_name,
+                                axis=-1, tiled=True)           # [N, S_c]
+    z_full = jax.lax.all_gather(z_local, axis_name,
+                                axis=-1, tiled=True)           # [N, S_c]
+    z_all = hierarchical_z_vals(z_full, w_full, key,
+                                n_fine=n_fine, perturb=perturb)
+    s_merged = z_all.shape[-1]
+    # loud trace-time guard: a non-divisible merged axis would silently
+    # drop the deepest s_merged % n_sh samples of every ray
+    assert s_merged % n_sh == 0, (
+        f"sample-sharded fine pass needs (S_c + n_fine) divisible by the "
+        f"shard count: {s_merged} % {n_sh} != 0")
+    s_f_local = s_merged // n_sh
+    z_f_local = jax.lax.dynamic_slice_in_dim(
+        z_all, idx * s_f_local, s_f_local, axis=-1)
+
+    # -- fine pass on the local merged slice --------------------------------
+    out_f = composite_sample_sharded(
+        field_planes(fine_fn, z_f_local), z_f_local, rays_d, axis_name)
+    return out_c, out_f
+
+
 def make_sample_sharded_render_full(coarse_fn, fine_fn, mesh: Mesh, *,
                                     n_fine: int, perturb: float = 1.0,
                                     axis_name: str = MODEL_AXIS):
@@ -146,42 +203,10 @@ def make_sample_sharded_render_full(coarse_fn, fine_fn, mesh: Mesh, *,
     (rgb_c, rgb_f, disp_f, acc_f)``, equal to the unsharded coarse+fine
     render at the same key (tests/test_sample_sharding.py).
     """
-    from ..ops.render import hierarchical_z_vals
-
     def body(rays_o, rays_d, z_local, key):
-        idx = jax.lax.axis_index(axis_name)
-        n_sh = jax.lax.axis_size(axis_name)
-        n, s_local = z_local.shape
-        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-
-        def field_planes(fn, z):
-            s = z.shape[-1]
-            xp = (rays_o.T[:, :, None]
-                  + rays_d.T[:, :, None] * z[None]).reshape(3, -1)
-            dp = jnp.broadcast_to(viewdirs.T[:, :, None],
-                                  (3, n, s)).reshape(3, -1)
-            return fn(xp, dp).reshape(4, n, s)
-
-        # -- coarse pass on the local sample slice -------------------------
-        out_c = composite_sample_sharded(
-            field_planes(coarse_fn, z_local), z_local, rays_d, axis_name)
-
-        # -- global hierarchical resample (replicated: every shard computes
-        # the same z_all from the gathered weights and the shared key) -----
-        w_full = jax.lax.all_gather(out_c.weights, axis_name,
-                                    axis=-1, tiled=True)       # [N, S_c]
-        z_full = jax.lax.all_gather(z_local, axis_name,
-                                    axis=-1, tiled=True)       # [N, S_c]
-        z_all = hierarchical_z_vals(z_full, w_full, key,
-                                    n_fine=n_fine, perturb=perturb)
-        s_merged = z_all.shape[-1]
-        s_f_local = s_merged // n_sh
-        z_f_local = jax.lax.dynamic_slice_in_dim(
-            z_all, idx * s_f_local, s_f_local, axis=-1)
-
-        # -- fine pass on the local merged slice ---------------------------
-        out_f = composite_sample_sharded(
-            field_planes(fine_fn, z_f_local), z_f_local, rays_d, axis_name)
+        out_c, out_f = sp_coarse_fine(
+            coarse_fn, fine_fn, rays_o, rays_d, z_local, key,
+            n_fine=n_fine, perturb=perturb, axis_name=axis_name)
         return out_c.rgb, out_f.rgb, out_f.disp, out_f.acc
 
     sm = jax.shard_map(

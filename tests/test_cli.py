@@ -140,3 +140,21 @@ def test_cli_resume_and_eval_only(tmp_path, blender_root):
                         "--testing_idx", "18"])
     main_worker(cfg3)
     assert (logd / "cli_resume_18" / "test_result" / "_result.txt").is_file()
+
+
+def test_cli_idx_vis_print_zero_means_off(tmp_path, blender_root):
+    """idx_vis=0 / idx_print=0 disable logging like the sibling idx_save/
+    idx_test/idx_render knobs — they must not ZeroDivisionError the loop
+    (regression: the chunked and single-step log gates divided by them)."""
+    cfg = load_config(["--config", write_cfg(
+        tmp_path, blender_root, exp_name="cli_novis", iter_N=8,
+        idx_vis=0, idx_print=0, idx_save=8, idx_test=0, idx_render=0,
+        scan_chunk=4)])
+    main_worker(cfg)
+    logd = tmp_path / "logs" / "cli_novis"
+    assert (logd / "cli_novis_8.ckpt").is_dir()
+    # no periodic metrics were logged (the csv is created lazily on the
+    # first log, so it may not exist at all)
+    csv_path = logd / "metrics.csv"
+    assert (not csv_path.is_file()
+            or len(csv_path.read_text().splitlines()) <= 1)
