@@ -50,6 +50,11 @@ class RayPool:
         self.epoch = 0
 
     def next_batch(self, n: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Convenience slice for tests/tools — NOT the production path:
+        its ~4 eager device ops cost ~4 x 20 ms of tunnel dispatches per
+        step on the remote backend.  Training loops must use
+        ``next_start`` and slice the pool INSIDE their jitted step
+        (driver.py's _slice_step; see next_start's docstring)."""
         start = self.next_start(n)
         batch = jax.lax.dynamic_slice_in_dim(self.pool, start, n, 0)
         return batch[:, 0, :], batch[:, 1, :], batch[:, 2, :]

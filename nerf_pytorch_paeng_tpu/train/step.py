@@ -21,6 +21,7 @@ from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models.nerf import NeRF
@@ -71,6 +72,20 @@ def _loss_and_metrics(model, params, rays_o, rays_d, target, key, cfg,
     return loss, metrics
 
 
+def _pmean_metrics(metrics, axis_name):
+    """Cross-shard metric reduction: pmean the (linear-in-MSE) loss
+    entries, then RE-DERIVE the PSNRs from the averaged losses — PSNR is
+    nonlinear in MSE, so a pmean of per-shard PSNRs would be biased high
+    and inconsistent with the logged loss (psnr != mse2psnr(loss))."""
+    out = {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()
+           if not k.startswith("psnr")}
+    out["psnr"] = mse2psnr(out["loss"])
+    out["psnr_c"] = mse2psnr(out["loss_c"])
+    if "loss_f" in out:
+        out["psnr_f"] = mse2psnr(out["loss_f"])
+    return out
+
+
 def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
                     H: int = 0, W: int = 0, focal: float = 0.0,
                     axis_name: str = None, force_xla: bool = False
@@ -105,7 +120,7 @@ def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
             loss_fn, has_aux=True)(state.params)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
-            metrics = jax.lax.pmean(metrics, axis_name)
+            metrics = _pmean_metrics(metrics, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), metrics
@@ -126,6 +141,11 @@ def make_scanned_train_step(model: NeRF, tx: optax.GradientTransformation,
     step = make_train_step(model, tx, cfg, H, W, focal)
 
     def scanned(state: TrainState, o_stack, d_stack, rgb_stack, key):
+        # the stack's leading axis IS the step count — a mismatched
+        # n_inner would otherwise silently run a different number of
+        # optimizer updates than the caller asked for
+        assert o_stack.shape[0] == n_inner, (o_stack.shape, n_inner)
+
         def body(st, xs):
             o, d, rgb = xs
             st, m = step(st, o, d, rgb, key)
@@ -160,11 +180,12 @@ def make_image_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
       (pair with ``force_xla`` on >1-device meshes; pallas_call cannot be
       partitioned by GSPMD).
     """
-    import jax.numpy as jnp
-
     from ..ops.rays import get_rays
+    # read focal from the HOST-side K before the device upload: float() of
+    # a device element is an eager round-trip (~25 ms sync on the remote
+    # backend) at every step-builder construction
+    focal = float(np.asarray(K)[0, 0])
     K = jnp.asarray(K, jnp.float32)
-    focal = float(K[0, 0])
 
     def train_step(state: TrainState, image, pose, key,
                    precrop: bool = False):
@@ -194,7 +215,7 @@ def make_image_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
             loss_fn, has_aux=True)(state.params)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
-            metrics = jax.lax.pmean(metrics, axis_name)
+            metrics = _pmean_metrics(metrics, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), metrics
