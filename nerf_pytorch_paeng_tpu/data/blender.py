@@ -75,6 +75,12 @@ def load_blender(data_root: str, bkg_white: bool = True, downsample: int = 0,
                   [0, focal, 0.5 * H],
                   [0, 0, 1]], np.float64)
 
-    rgb, a = rgba[..., :3], rgba[..., -1:]
-    imgs = rgb * a + (1.0 - a) if bkg_white else rgb * a
+    if rgba.shape[-1] == 4:
+        rgb, a = rgba[..., :3], rgba[..., -1:]
+        imgs = rgb * a + (1.0 - a) if bkg_white else rgb * a
+    else:
+        # RGB exports without an alpha plane: nothing to composite (the
+        # reference assumes RGBA; silently treating the last channel as
+        # alpha would corrupt every image with its own blue channel)
+        imgs = rgba[..., :3]
     return imgs.astype(np.float32), [K, extrinsics], [int(H), int(W)], i_split

@@ -45,22 +45,36 @@ def load_colmap_model(basedir: str):
          poses[:, 3:4, :], poses[:, 4:5, :]], 1)      # [3, 5, N]
 
     pts3d = read_points3d_binary(os.path.join(sparse, "points3D.bin"))
-    return poses, pts3d, perm
+    return poses, pts3d, perm, keys
 
 
 def save_poses_bounds(basedir: str, poses: np.ndarray, pts3d,
-                      perm: np.ndarray) -> np.ndarray:
-    """Compute per-image depth bounds and write poses_bounds.npy."""
+                      perm: np.ndarray, image_ids=None) -> np.ndarray:
+    """Compute per-image depth bounds and write poses_bounds.npy.
+
+    ``image_ids``: the COLMAP image ids in the column order the poses
+    were stacked (load_colmap_model's ``keys``).  COLMAP keeps database
+    ids for registered images, so after dropped frames (common for
+    handheld video) the ids are NOT contiguous 1..N — indexing columns
+    by ``id - 1`` would either mispair visibility with the wrong camera
+    or reject a perfectly valid model.  ``None`` assumes contiguous ids
+    (legacy layouts only).
+    """
     n_images = poses.shape[-1]
+    if image_ids is None:
+        image_ids = list(range(1, n_images + 1))
+    col = {img_id: j for j, img_id in enumerate(image_ids)}
     pts = np.stack([p.xyz for p in pts3d.values()], 0)       # [P, 3]
     vis = np.zeros((pts.shape[0], n_images), bool)
     for row, p in enumerate(pts3d.values()):
         for ind in p.image_ids:
-            if ind - 1 >= n_images:
+            j = col.get(int(ind))
+            if j is None:
                 raise ValueError(
-                    "point track references an unregistered image — "
-                    "COLMAP model is inconsistent with the pose set")
-            vis[row, ind - 1] = True
+                    f"point track references image id {int(ind)}, which "
+                    "is not in the registered image set — COLMAP model "
+                    "is inconsistent with the pose set")
+            vis[row, j] = True
 
     # depth of each point along each camera's forward (-t) axis
     zvals = np.sum(
@@ -70,6 +84,12 @@ def save_poses_bounds(basedir: str, poses: np.ndarray, pts3d,
     rows = []
     for i in perm:
         zs = zvals[:, i][vis[:, i]]
+        if zs.size == 0:
+            raise ValueError(
+                f"image column {int(i)} (id {image_ids[int(i)]}) has no "
+                "visible 3D points — COLMAP registered it without any "
+                "tracks (blurry/textureless frame?); remove the frame "
+                "and re-run COLMAP")
         close, inf = np.percentile(zs, 0.1), np.percentile(zs, 99.9)
         rows.append(np.concatenate(
             [poses[..., i].ravel(), np.array([close, inf])], 0))
@@ -86,6 +106,6 @@ def gen_poses(basedir: str, match_type: str = "exhaustive_matcher") -> bool:
     have = os.listdir(sparse0) if os.path.isdir(sparse0) else []
     if not all(f in have for f in needed):
         run_colmap(basedir, match_type)
-    poses, pts3d, perm = load_colmap_model(basedir)
-    save_poses_bounds(basedir, poses, pts3d, perm)
+    poses, pts3d, perm, keys = load_colmap_model(basedir)
+    save_poses_bounds(basedir, poses, pts3d, perm, image_ids=keys)
     return True

@@ -12,7 +12,7 @@ import os
 import cv2
 import numpy as np
 
-from .llff import _load_data, recenter_poses, spherify_poses
+from .llff import _load_data, normalize_loaded_poses, spherify_poses
 
 
 def extract_frames_from_video(data_root: str, batch: int = 30,
@@ -58,17 +58,8 @@ def load_custom(data_root: str, downsample: int = 0, testskip: int = 8,
 
     poses, bds, imgs = _load_data(data_root, factor=None,
                                   colmap_relaunch=colmap_relaunch)
-
-    poses = np.concatenate(
-        [poses[:, 1:2, :], -poses[:, 0:1, :], poses[:, 2:, :]], 1)
-    poses = np.moveaxis(poses, -1, 0).astype(np.float32)
-    imgs = np.moveaxis(imgs, -1, 0).astype(np.float32)
-    bds = np.moveaxis(bds, -1, 0).astype(np.float32)
-
-    sc = 1.0 if bd_factor is None else 1.0 / (bds.min() * bd_factor)
-    poses[:, :3, 3] *= sc
-    bds *= sc
-    poses = recenter_poses(poses)
+    poses, bds, imgs = normalize_loaded_poses(poses, bds, imgs,
+                                              bd_factor=bd_factor)
     poses, render_poses, bds = spherify_poses(poses, bds)  # always spherify
 
     hwf = poses[0, :3, -1]

@@ -34,9 +34,15 @@ def _list_images(d: str) -> List[str]:
 def minify(basedir: str, factor: int) -> None:
     """Write an images_{factor}/ dir of 1/factor-size PNGs, in-process."""
     outdir = os.path.join(basedir, f"images_{factor}")
-    if os.path.exists(outdir):
-        return
     files = _list_images(os.path.join(basedir, "images"))
+    if os.path.exists(outdir):
+        # idempotency after a partial failure: an interrupted first run
+        # leaves a short directory that would otherwise be trusted
+        # forever and fail downstream as 'N images but M poses'
+        if len(_list_images(outdir)) == len(files):
+            return
+        import shutil
+        shutil.rmtree(outdir)
     os.makedirs(outdir)
     for f in files:
         img = imageio.imread(f)
@@ -82,8 +88,10 @@ def _load_data(basedir: str, factor: Optional[int] = None,
     poses[:2, 4, :] = np.array(sh[:2]).reshape([2, 1])   # actual H, W
     poses[2, 4, :] = poses[2, 4, :] / factor             # focal scales
 
-    imgs = np.stack([imageio.imread(f)[..., :3] / 255.0
-                     for f in imgfiles], -1)
+    # stack uint8 first, ONE float32 divide (a per-image /255.0 would
+    # build the stack in float64 — ~8 bytes/pixel transient)
+    imgs = np.stack([imageio.imread(f)[..., :3] for f in imgfiles], -1)
+    imgs = imgs.astype(np.float32) / 255.0
     return poses, bds, imgs
 
 
@@ -198,14 +206,15 @@ def spherify_poses(poses: np.ndarray, bds: np.ndarray):
 
 # ---------------------------------------------------------------------------
 
-def load_llff(data_root: str, downsample: int = 0, testskip: int = 8,
-              bd_factor: float = 0.75, spherify: bool = False,
-              path_zflat: bool = False, colmap_relaunch: bool = False):
-    """Returns (images, [K, extrinsics], [H, W], i_split, render_poses)."""
-    poses, bds, imgs = _load_data(data_root, factor=downsample,
-                                  colmap_relaunch=colmap_relaunch)
-
-    # axis fix [x_down, y_right, z_back] -> standard [right, up, back]
+def normalize_loaded_poses(poses, bds, imgs, bd_factor: float = 0.75):
+    """The shared post-_load_data normalization (reference
+    load_llff.py:277-295), used by load_llff AND load_custom — one copy
+    so a fix to the axis convention or the bound rescale cannot land in
+    only one loader:
+    axis fix [x_down, y_right, z_back] -> standard [right, up, back],
+    [..., N] -> [N, ...] major, 1/(bds.min()*bd_factor) rescale,
+    recenter to the average pose.
+    Returns (poses [N,3,5], bds [N,2], images [N,H,W,3]) as float32."""
     poses = np.concatenate(
         [poses[:, 1:2, :], -poses[:, 0:1, :], poses[:, 2:, :]], 1)
     poses = np.moveaxis(poses, -1, 0).astype(np.float32)
@@ -215,8 +224,17 @@ def load_llff(data_root: str, downsample: int = 0, testskip: int = 8,
     sc = 1.0 if bd_factor is None else 1.0 / (bds.min() * bd_factor)
     poses[:, :3, 3] *= sc
     bds *= sc
+    return recenter_poses(poses), bds, images
 
-    poses = recenter_poses(poses)
+
+def load_llff(data_root: str, downsample: int = 0, testskip: int = 8,
+              bd_factor: float = 0.75, spherify: bool = False,
+              path_zflat: bool = False, colmap_relaunch: bool = False):
+    """Returns (images, [K, extrinsics], [H, W], i_split, render_poses)."""
+    poses, bds, imgs = _load_data(data_root, factor=downsample,
+                                  colmap_relaunch=colmap_relaunch)
+    poses, bds, images = normalize_loaded_poses(poses, bds, imgs,
+                                                bd_factor=bd_factor)
 
     if spherify:
         poses, render_poses, bds = spherify_poses(poses, bds)
@@ -248,7 +266,9 @@ def load_llff(data_root: str, downsample: int = 0, testskip: int = 8,
                   [0, focal, 0.5 * H],
                   [0, 0, 1]], np.float64)
 
-    i_test = np.arange(images.shape[0])[::testskip]
+    # testskip<=0 would crash numpy's [::0]; treat it as 1 (keep every
+    # image in the held-out split) like the sibling loaders' 0-handling
+    i_test = np.arange(images.shape[0])[::max(int(testskip), 1)]
     i_val = i_test
     i_train = np.array([i for i in np.arange(images.shape[0])
                         if i not in i_test])
