@@ -67,7 +67,7 @@ from ..ops.render import (_pallas_interpret, hierarchical_fine_pass,
                           make_pallas_sigma_fn, make_xla_field_fns,
                           maybe_ndc, render_rays_from_cfg)
 from ..ops.sampling import stratified_z_vals
-from ..ops.volume import (DISP_CLAMP, volume_render_rays_t,
+from ..ops.volume import (_disp_from, volume_render_rays_t,
                           weights_from_sigma, weights_from_sigma_t)
 
 # default ray-block: big enough that a frame is a few (pipelined)
@@ -699,9 +699,7 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         rgb0 = jnp.broadcast_to((1.0 - 0.5 * jnp.maximum(acc, 0.0))[:, None],
                                 (acc.shape[0], 3))
         depth = jnp.sum(weights * z_vals, -1)
-        mean_depth = depth / jnp.maximum(acc, 1e-10)
-        disp0 = jnp.minimum(1.0 / jnp.maximum(1e-10, mean_depth), DISP_CLAMP)
-        disp0 = jnp.where(acc <= 0.0, 0.0, disp0)
+        disp0 = _disp_from(depth, acc)
         return order, class_cum, rgb0, disp0
 
     @jax.jit

@@ -124,8 +124,8 @@ def make_pallas_field_fns(packed_coarse, packed_fine, cfg, tile: int = 8192):
 
 
 def make_pallas_sigma_fn(packed_coarse, cfg, tile: int = 8192):
-    """Density-only coarse field fn ``xplane [3,P] -> sigma [N? no, [8,P]
-    row 0]`` on the trunk+density kernel — used for evaluation where the
+    """Density-only coarse field fn ``xplane [3,P] -> sigma [P]`` (row 0
+    of the kernel's [8,P] output) on the trunk+density kernel — used for evaluation where the
     coarse pass only produces sampling weights."""
     from ..kernels.fused_mlp import fused_mlp_sigma
 
@@ -151,10 +151,9 @@ def _train_rays_tile(m: int):
     (1024: +7%, 4096: +6%)."""
     if m % 128 != 0:
         return None
-    for tile in (2048, 1024, 512, 256, 128):
-        if m % tile == 0:
-            return min(tile, m)
-    return None
+    # m is a positive multiple of 128 here, so the 128 candidate always
+    # divides it — the loop cannot fall through
+    return next(t for t in (2048, 1024, 512, 256, 128) if m % t == 0)
 
 
 def supports_train_rays_kernels(cfg, n_rays: int) -> bool:
@@ -376,12 +375,9 @@ def render_rays(
     far: float,
     n_coarse: int,
     n_fine: int,
-    L_x: int,
-    L_d: int,
     perturb: float = 1.0,
     stratified: bool = True,
     scan_impl: str = "cumprod",
-    chunk_pts: int = 524288,
     coarse_sigma_fn=None,
 ) -> RaysRender:
     """Render a flat batch of rays through the coarse(+fine) pipeline.
@@ -415,8 +411,7 @@ def render_rays(
     if coarse_sigma_fn is not None and n_fine > 0:
         # eval-only: density suffices for the sampling weights; the coarse
         # rgb/disp are never shown when a fine pass exists
-        s = z_vals.shape[-1]
-        xp = (o_t[:, :, None] + d_t[:, :, None] * z_vals[None]).reshape(3, -1)
+        xp, _ = planes(z_vals)
         from .volume import weights_from_sigma
         sigma_c = coarse_sigma_fn(xp).reshape(n_rays, n_coarse)
         weights_c = weights_from_sigma(sigma_c, z_vals, rays_d, scan_impl)
@@ -452,8 +447,7 @@ def render_rays_from_cfg(coarse_fn, fine_fn, rays_o, rays_d, key, cfg,
         coarse_fn, fine_fn, rays_o, rays_d, key,
         near=float(cfg.near), far=float(cfg.far),
         n_coarse=cfg.N_samples_c, n_fine=cfg.N_samples_f,
-        L_x=cfg.L_x, L_d=cfg.L_d, perturb=float(cfg.perturb),
-        stratified=stratified, chunk_pts=cfg.chunk_pts,
+        perturb=float(cfg.perturb), stratified=stratified,
         coarse_sigma_fn=coarse_sigma_fn)
 
 

@@ -7,8 +7,15 @@ Math parity target: reference nerf_process.py:89-140 (post_process):
 - rgb = Σ w·sigmoid(c); the white-background composite ``rgb + (1-acc)``
   is unconditional in the reference, so it is unconditional here too,
 - disparity = 1/max(1e-10, depth/acc) with NaN→0 and a clamp at 5.0; we
-  compute it NaN-free by construction (acc can be 0 → guard the division)
-  and keep the clamp for output parity.
+  compute it NaN-free by construction (_disp_from guards the acc==0
+  division) and reproduce the reference exactly for every acc > 0 —
+  including denormal-small acc, where flooring acc before the divide
+  (an earlier refactor) silently clamped instead.
+
+The compositing pipeline is shared across the ray-major ([N, S], scan on
+the last axis) and sample-major ([S, N], scan on axis 0 — the ray-major
+kernels' native layout) variants via axis-parametric helpers, so a
+numerical fix lands once.
 
 The transmittance scan is available in two forms: ``cumprod`` (default,
 what XLA fuses best on a single chip) and a log-space
@@ -44,18 +51,54 @@ class RenderOutputsT(NamedTuple):
     depth: jnp.ndarray     # [N]
 
 
-def exclusive_cumprod(x: jnp.ndarray, scan_impl: str = "cumprod") -> jnp.ndarray:
-    """Exclusive product along the last axis: out[i] = prod(x[:i]), out[0]=1."""
+def exclusive_cumprod(x: jnp.ndarray, scan_impl: str = "cumprod",
+                      axis: int = -1) -> jnp.ndarray:
+    """Exclusive product along ``axis``: out[i] = prod(x[:i]), out[0]=1."""
     if scan_impl == "associative":
         # log-space associative scan: shards cleanly over the sample axis.
         # Clamp before the log: callers pass x = 1 - alpha + 1e-10, which
         # XLA may reassociate into exactly 0 at alpha == 1 (log(0) = -inf).
         logs = jnp.log(jnp.maximum(x, 1e-10))
-        inc = jax.lax.associative_scan(jnp.add, logs, axis=-1)
-        exc = inc - logs
-        return jnp.exp(exc)
-    ones = jnp.ones_like(x[..., :1])
-    return jnp.cumprod(jnp.concatenate([ones, x], -1), -1)[..., :-1]
+        inc = jax.lax.associative_scan(jnp.add, logs, axis=axis)
+        return jnp.exp(inc - logs)
+    ones = jnp.ones_like(jax.lax.slice_in_dim(x, 0, 1, axis=axis))
+    prod = jnp.cumprod(jnp.concatenate([ones, x], axis), axis)
+    return jax.lax.slice_in_dim(prod, 0, x.shape[axis], axis=axis)
+
+
+def _dists(z_vals: jnp.ndarray, rays_d: jnp.ndarray,
+           axis: int) -> jnp.ndarray:
+    """Δz with the 1e10 last-bin cap, scaled by ||ray_d|| (reference
+    nerf_process.py:93-101).  ``axis`` is the sample axis of z_vals:
+    -1 for [N, S], 0 for the sample-major [S, N]."""
+    n = z_vals.shape[axis]
+    d = (jax.lax.slice_in_dim(z_vals, 1, n, axis=axis)
+         - jax.lax.slice_in_dim(z_vals, 0, n - 1, axis=axis))
+    last = jnp.full_like(jax.lax.slice_in_dim(d, 0, 1, axis=axis), 1e10)
+    d = jnp.concatenate([d, last], axis)
+    norm = jnp.linalg.norm(rays_d, axis=-1)
+    return d * (norm[None] if axis == 0 else norm[..., None])
+
+
+def _weights(sigma: jnp.ndarray, z_vals: jnp.ndarray, rays_d: jnp.ndarray,
+             scan_impl: str, axis: int) -> jnp.ndarray:
+    """alpha compositing weights from density logits (pre-relu)."""
+    dists = _dists(z_vals, rays_d, axis)
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma.astype(jnp.float32)) * dists)
+    return alpha * exclusive_cumprod(1.0 - alpha + 1e-10, scan_impl, axis)
+
+
+def _disp_from(depth_map: jnp.ndarray, acc_map: jnp.ndarray) -> jnp.ndarray:
+    """Reference-exact disparity: 1/max(1e-10, depth/acc), clamped at
+    DISP_CLAMP, with the reference's acc==0 NaN patched to 0 (computed
+    NaN-free here by substituting a safe denominator before the select).
+    The divide uses acc itself — flooring acc first would clamp
+    near-empty rays (0 < acc << 1e-10) to DISP_CLAMP where the reference
+    returns the true 1/mean-depth."""
+    safe_acc = jnp.where(acc_map > 0.0, acc_map, 1.0)
+    disp = 1.0 / jnp.maximum(1e-10, depth_map / safe_acc)
+    disp = jnp.minimum(disp, DISP_CLAMP)
+    return jnp.where(acc_map == 0.0, 0.0, disp)
 
 
 def weights_from_sigma(sigma: jnp.ndarray, z_vals: jnp.ndarray,
@@ -66,13 +109,15 @@ def weights_from_sigma(sigma: jnp.ndarray, z_vals: jnp.ndarray,
     Used by the sigma-only coarse pass during evaluation, where only the
     hierarchical-sampling weights matter (the fine rgb is what gets shown,
     reference test.py:42-47)."""
-    sigma = sigma.astype(jnp.float32)
-    dists = z_vals[..., 1:] - z_vals[..., :-1]
-    dists = jnp.concatenate(
-        [dists, jnp.full_like(dists[..., :1], 1e10)], -1)
-    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
-    return alpha * exclusive_cumprod(1.0 - alpha + 1e-10, scan_impl)
+    return _weights(sigma, z_vals, rays_d, scan_impl, axis=-1)
+
+
+def weights_from_sigma_t(sigma_t: jnp.ndarray, z_t: jnp.ndarray,
+                         rays_d: jnp.ndarray,
+                         scan_impl: str = "cumprod") -> jnp.ndarray:
+    """weights_from_sigma in the sample-major layout: sigma_t/z_t [S, N]
+    -> weights [S, N]."""
+    return _weights(sigma_t, z_t, rays_d, scan_impl, axis=0)
 
 
 def volume_render_planar(raw: jnp.ndarray, z_vals: jnp.ndarray,
@@ -83,26 +128,13 @@ def volume_render_planar(raw: jnp.ndarray, z_vals: jnp.ndarray,
     Pallas kernels' [4, P] outputs — a [4,P]→[P,4] transpose costs ~4ms
     per 3M points on TPU and is pure waste."""
     raw = raw.astype(jnp.float32)
-    dists = z_vals[..., 1:] - z_vals[..., :-1]
-    dists = jnp.concatenate(
-        [dists, jnp.full_like(dists[..., :1], 1e10)], -1)          # [N, S]
-    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+    weights = _weights(raw[3], z_vals, rays_d, scan_impl, axis=-1)  # [N, S]
+    rgb = jax.nn.sigmoid(raw[0:3])                                  # [3,N,S]
 
-    rgb = jax.nn.sigmoid(raw[0:3])                                 # [3, N, S]
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(raw[3]) * dists)            # [N, S]
-
-    transmittance = exclusive_cumprod(1.0 - alpha + 1e-10, scan_impl)
-    weights = alpha * transmittance                                # [N, S]
-
-    rgb_map = jnp.sum(weights[None] * rgb, -1).T                   # [N, 3]
+    rgb_map = jnp.sum(weights[None] * rgb, -1).T                    # [N, 3]
     depth_map = jnp.sum(weights * z_vals, -1)
     acc_map = jnp.sum(weights, -1)
-
-    mean_depth = depth_map / jnp.maximum(acc_map, 1e-10)
-    disp_map = 1.0 / jnp.maximum(1e-10, mean_depth)
-    disp_map = jnp.minimum(disp_map, DISP_CLAMP)
-    disp_map = jnp.where(acc_map == 0.0, 0.0, disp_map)
-
+    disp_map = _disp_from(depth_map, acc_map)
     rgb_map = rgb_map + (1.0 - acc_map[..., None])
     return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)
 
@@ -115,57 +147,16 @@ def volume_render_rays_t(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
     z_t are [S, N] (the ray-major kernels' native outputs,
     kernels/fused_mlp.fused_mlp_eval_rays) — the scan runs along axis 0.
     Returns RenderOutputsT, whose ``weights`` is [S, N] (transposed)."""
-    sigma = sigma.astype(jnp.float32)
-    dists = z_t[1:] - z_t[:-1]
-    dists = jnp.concatenate([dists, jnp.full_like(dists[:1], 1e10)], 0)
-    dists = dists * jnp.linalg.norm(rays_d, axis=-1)[None]      # [S, N]
-
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)          # [S, N]
-    x = 1.0 - alpha + 1e-10
-    if scan_impl == "associative":
-        logs = jnp.log(jnp.maximum(x, 1e-10))
-        inc = jax.lax.associative_scan(jnp.add, logs, axis=0)
-        transmittance = jnp.exp(inc - logs)
-    else:
-        ones = jnp.ones_like(x[:1])
-        transmittance = jnp.cumprod(
-            jnp.concatenate([ones, x], 0), 0)[:-1]
-    weights = alpha * transmittance                             # [S, N]
+    weights = _weights(sigma, z_t, rays_d, scan_impl, axis=0)       # [S, N]
 
     rgb_map = jnp.stack(
         [jnp.sum(weights * jax.nn.sigmoid(c.astype(jnp.float32)), 0)
-         for c in (r, g, b)], -1)                               # [N, 3]
+         for c in (r, g, b)], -1)                                   # [N, 3]
     depth_map = jnp.sum(weights * z_t, 0)
     acc_map = jnp.sum(weights, 0)
-
-    mean_depth = depth_map / jnp.maximum(acc_map, 1e-10)
-    disp_map = 1.0 / jnp.maximum(1e-10, mean_depth)
-    disp_map = jnp.minimum(disp_map, DISP_CLAMP)
-    disp_map = jnp.where(acc_map == 0.0, 0.0, disp_map)
-
+    disp_map = _disp_from(depth_map, acc_map)
     rgb_map = rgb_map + (1.0 - acc_map[..., None])
     return RenderOutputsT(rgb_map, disp_map, acc_map, weights, depth_map)
-
-
-def weights_from_sigma_t(sigma_t: jnp.ndarray, z_t: jnp.ndarray,
-                         rays_d: jnp.ndarray,
-                         scan_impl: str = "cumprod") -> jnp.ndarray:
-    """weights_from_sigma in the sample-major layout: sigma_t/z_t [S, N]
-    -> weights [S, N]."""
-    sigma_t = sigma_t.astype(jnp.float32)
-    dists = z_t[1:] - z_t[:-1]
-    dists = jnp.concatenate([dists, jnp.full_like(dists[:1], 1e10)], 0)
-    dists = dists * jnp.linalg.norm(rays_d, axis=-1)[None]
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma_t) * dists)
-    x = 1.0 - alpha + 1e-10
-    if scan_impl == "associative":
-        logs = jnp.log(jnp.maximum(x, 1e-10))
-        inc = jax.lax.associative_scan(jnp.add, logs, axis=0)
-        transmittance = jnp.exp(inc - logs)
-    else:
-        ones = jnp.ones_like(x[:1])
-        transmittance = jnp.cumprod(jnp.concatenate([ones, x], 0), 0)[:-1]
-    return alpha * transmittance
 
 
 def volume_render(raw: jnp.ndarray, z_vals: jnp.ndarray, rays_d: jnp.ndarray,
@@ -178,31 +169,14 @@ def volume_render(raw: jnp.ndarray, z_vals: jnp.ndarray, rays_d: jnp.ndarray,
       rays_d: [N, 3] (unnormalised) ray directions.
     """
     raw = raw.astype(jnp.float32)
-    dists = z_vals[..., 1:] - z_vals[..., :-1]
-    dists = jnp.concatenate(
-        [dists, jnp.full_like(dists[..., :1], 1e10)], -1)          # [N, S]
-    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
-
+    weights = _weights(raw[..., 3], z_vals, rays_d, scan_impl, axis=-1)
     rgb = jax.nn.sigmoid(raw[..., :3])                             # [N, S, 3]
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(raw[..., 3]) * dists)       # [N, S]
-
-    transmittance = exclusive_cumprod(1.0 - alpha + 1e-10, scan_impl)
-    weights = alpha * transmittance                                # [N, S]
 
     rgb_map = jnp.sum(weights[..., None] * rgb, -2)                # [N, 3]
     depth_map = jnp.sum(weights * z_vals, -1)
     acc_map = jnp.sum(weights, -1)
-
-    # NaN-free disparity: guard acc=0 before dividing (reference patches the
-    # NaNs after the fact, nerf_process.py:124-134; the clamp at 5.0 and the
-    # 1e-10 floor reproduce its output exactly on the non-NaN path).
-    mean_depth = depth_map / jnp.maximum(acc_map, 1e-10)
-    disp_map = 1.0 / jnp.maximum(1e-10, mean_depth)
-    disp_map = jnp.minimum(disp_map, DISP_CLAMP)
-    # empty ray (acc==0): the reference's 0/0 NaN is patched to 0 there.
-    disp_map = jnp.where(acc_map == 0.0, 0.0, disp_map)
+    disp_map = _disp_from(depth_map, acc_map)
 
     # Unconditional white-background composite (reference nerf_process.py:138).
     rgb_map = rgb_map + (1.0 - acc_map[..., None])
-
     return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.volume import DISP_CLAMP, RenderOutputs
+from ..ops.volume import RenderOutputs, _disp_from
 from .mesh import MODEL_AXIS
 
 
@@ -85,11 +85,7 @@ def composite_sample_sharded(raw, z_vals, rays_d, axis_name: str
     depth_map = jax.lax.psum(jnp.sum(weights * z_vals, -1), axis_name)
     acc_map = jax.lax.psum(jnp.sum(weights, -1), axis_name)
 
-    mean_depth = depth_map / jnp.maximum(acc_map, 1e-10)
-    disp_map = 1.0 / jnp.maximum(1e-10, mean_depth)
-    disp_map = jnp.minimum(disp_map, DISP_CLAMP)
-    disp_map = jnp.where(acc_map == 0.0, 0.0, disp_map)
-
+    disp_map = _disp_from(depth_map, acc_map)
     rgb_map = rgb_map + (1.0 - acc_map[..., None])
     return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)
 

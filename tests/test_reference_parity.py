@@ -230,7 +230,7 @@ def test_full_render_rays_parity():
     coarse, fine = make_xla_field_fns(model, params, cfg)
     ours = render_rays(coarse, fine, jnp.asarray(rays_o), jnp.asarray(rays_d),
                        tgt_key, near=2.0, far=6.0, n_coarse=SC, n_fine=SF,
-                       L_x=10, L_d=4, perturb=1.0)
+                       perturb=1.0)
 
     # replicate the exact uniform draws our pipeline makes
     key_c, key_f = jax.random.split(tgt_key)

@@ -87,6 +87,6 @@ def test_fine_sampling_concentrates_where_density_is():
     o, d = rand_rays(4)
     out = render_rays(
         coarse, fine, o, d, jax.random.PRNGKey(0),
-        near=2.0, far=6.0, n_coarse=8, n_fine=16, L_x=4, L_d=2,
+        near=2.0, far=6.0, n_coarse=8, n_fine=16,
         perturb=0.0, stratified=False)
     assert out.rgb_f.shape == (4, 3)

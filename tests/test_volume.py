@@ -101,3 +101,29 @@ def test_exclusive_cumprod_basic():
     x = jnp.asarray(np.array([[2.0, 3.0, 4.0]], np.float32))
     got = np.asarray(exclusive_cumprod(x))
     np.testing.assert_allclose(got, [[1.0, 2.0, 6.0]], rtol=1e-6)
+
+
+def test_disp_near_empty_ray_matches_reference_formula():
+    """0 < acc << 1e-10 (denormal-faint ray): the reference computes
+    disp = 1/max(1e-10, depth/acc) = 1/mean_depth — flooring acc before
+    the divide (an earlier refactor) silently clamped these rays to
+    DISP_CLAMP instead.  The regime is unreachable through the f32
+    1-exp(-sigma*dist) alpha (alphas below ~6e-8 round to 0), so the
+    helper is tested directly against the reference formula."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nerf_pytorch_paeng_tpu.ops.volume import DISP_CLAMP, _disp_from
+
+    acc = jnp.asarray([0.0, 5e-21, 1e-7, 0.5, 1.0])
+    depth = jnp.asarray([0.0, 2e-20, 4e-7, 2.0, 0.05])
+
+    def ref(depth, acc):                     # nerf_process.py:124-134
+        with np.errstate(invalid="ignore", divide="ignore"):
+            disp = 1.0 / np.maximum(1e-10, depth / acc)
+        disp = np.where(np.isnan(disp), 0.0, disp)
+        return np.minimum(disp, DISP_CLAMP)
+
+    got = np.asarray(_disp_from(depth, acc))
+    want = ref(np.asarray(depth), np.asarray(acc))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert got[1] == 0.25                    # not clamped to DISP_CLAMP
