@@ -13,6 +13,10 @@ checkpoint/test/render artifacts and final held-out PSNR into
 docs/artifacts/FLAGSHIP_200K_r03.json.
 
 Usage: python tools/run_flagship_200k.py [iter_N]
+       python tools/run_flagship_200k.py --harvest <exp_dir> [iter_N]
+         (harvest-only: rebuild the artifact JSON from a completed run's
+         log directory — used when the run finished but the in-process
+         harvest was lost, e.g. to a tunnel outage)
 """
 from __future__ import annotations
 
@@ -41,36 +45,17 @@ def ensure_dataset():
     print(f">> dataset written in {time.time()-t0:.0f}s", flush=True)
 
 
-def main(iter_n: int = 200000):
-    ensure_dataset()
-    from nerf_pytorch_paeng_tpu.config import config_from_file
-    from nerf_pytorch_paeng_tpu.driver import main_worker
-
-    # the reference lego config, unchanged hyperparameters; only the data
-    # path/name and logging destinations differ (diff-verified fields:
-    # near/far/bkg_white/global_batch/N_rays/N_samples/L_x/L_d/lr/
-    # lr_min/iter_warmup/iter_N/idx_*)
-    cfg = config_from_file(
-        "/root/reference/configs/blender/lego.txt",
-        data_root=DATA, data_name="synth_lego800", exp_name=EXP,
-        log_dir=LOGDIR, iter_N=iter_n, testskip=1,
-    )
-    print(f">> cfg: iter_N={cfg.iter_N} N_rays={cfg.N_rays} "
-          f"samples={cfg.N_samples_c}+{cfg.N_samples_f} "
-          f"global_batch={cfg.global_batch} lr={cfg.lr}->{cfg.lr_min} "
-          f"warmup={cfg.iter_warmup} idx_save={cfg.idx_save} "
-          f"idx_test={cfg.idx_test} idx_render={cfg.idx_render}",
-          flush=True)
-    t0 = time.time()
-    main_worker(cfg)
-    wall = time.time() - t0
-
-    # -- harvest artifacts -------------------------------------------------
-    exp_dir = os.path.join(LOGDIR, EXP)
-    art = {"iter_N": cfg.iter_N, "wall_clock_sec": round(wall, 1),
+def harvest(exp_dir: str, iter_n: int, wall: float | None,
+            wall_note: str | None = None):
+    """Collect run evidence from ``exp_dir`` into the artifact JSON."""
+    art = {"iter_N": iter_n,
            "config": "reference configs/blender/lego.txt, unchanged "
                      "hyperparameters, 13-view synthetic 800x800 scene",
            "device": "TPU v5e (1 chip)"}
+    if wall is not None:
+        art["wall_clock_sec"] = round(wall, 1)
+    if wall_note:
+        art["wall_clock_note"] = wall_note
 
     csv_path = os.path.join(exp_dir, "metrics.csv")
     if os.path.isfile(csv_path):
@@ -96,7 +81,7 @@ def main(iter_n: int = 200000):
     art["checkpoints"] = sorted(
         d for d in os.listdir(exp_dir) if d.endswith(".ckpt"))
 
-    res = os.path.join(exp_dir, f"{EXP}_{cfg.iter_N}", "test_result",
+    res = os.path.join(exp_dir, f"{EXP}_{iter_n}", "test_result",
                        "_result.txt")
     if os.path.isfile(res):
         txt = open(res).read()
@@ -105,7 +90,7 @@ def main(iter_n: int = 200000):
             if line.startswith("Mean Value"):
                 art["final_heldout_mean"] = line.strip()
 
-    rend = os.path.join(exp_dir, f"{EXP}_{cfg.iter_N}", "render_result")
+    rend = os.path.join(exp_dir, f"{EXP}_{iter_n}", "render_result")
     if os.path.isdir(rend):
         art["render_artifacts"] = sorted(os.listdir(rend))[:6]
 
@@ -117,5 +102,34 @@ def main(iter_n: int = 200000):
     print(f">> artifact written: {out}", flush=True)
 
 
+def main(iter_n: int = 200000):
+    ensure_dataset()
+    from nerf_pytorch_paeng_tpu.config import config_from_file
+    from nerf_pytorch_paeng_tpu.driver import main_worker
+
+    # the reference lego config, unchanged hyperparameters; only the data
+    # path/name and logging destinations differ (diff-verified fields:
+    # near/far/bkg_white/global_batch/N_rays/N_samples/L_x/L_d/lr/
+    # lr_min/iter_warmup/iter_N/idx_*)
+    cfg = config_from_file(
+        "/root/reference/configs/blender/lego.txt",
+        data_root=DATA, data_name="synth_lego800", exp_name=EXP,
+        log_dir=LOGDIR, iter_N=iter_n, testskip=1,
+    )
+    print(f">> cfg: iter_N={cfg.iter_N} N_rays={cfg.N_rays} "
+          f"samples={cfg.N_samples_c}+{cfg.N_samples_f} "
+          f"global_batch={cfg.global_batch} lr={cfg.lr}->{cfg.lr_min} "
+          f"warmup={cfg.iter_warmup} idx_save={cfg.idx_save} "
+          f"idx_test={cfg.idx_test} idx_render={cfg.idx_render}",
+          flush=True)
+    t0 = time.time()
+    main_worker(cfg)
+    harvest(os.path.join(LOGDIR, EXP), cfg.iter_N, time.time() - t0)
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 200000)
+    if len(sys.argv) > 2 and sys.argv[1] == "--harvest":
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else 200000
+        harvest(sys.argv[2], n, None)
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 200000)
