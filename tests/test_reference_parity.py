@@ -284,12 +284,19 @@ def test_full_render_rays_parity():
                                want["disp_f"].numpy(), rtol=5e-3, atol=5e-3)
 
 
-def run_trajectory_parity(steps: int = 100):
+def run_trajectory_parity(steps: int = 100, snapshot_at: int | None = None):
     """Run the actual reference optimizer loop (train.py:53-70 +
     main.py:76-90,124-161 — render, MSE_c+MSE_f, Adam(0.9,0.999),
     CosineAnnealingWarmupRestarts) on torch CPU for ``steps`` steps with
     injected identical init, replayed RNG and identical ray batches, next
     to our jitted train step.  Returns (ours_loss, ref_loss) arrays.
+
+    With ``snapshot_at=k``, additionally captures a reference-format
+    checkpoint dict (numpy leaves, the torch.save layout of reference
+    train.py:105-114) after the reference loop's k-th completed update,
+    and returns (ours_loss, ref_loss, extras) where extras carries
+    {"cfg", "batches", "ref_ckpt"} — used by the checkpoint-interop
+    mid-training-switch test (tests/test_interop.py).
 
     Shared by test_training_trajectory_parity (100 steps, in-suite) and
     tools/trajectory_parity_artifact.py (>=500 steps, drift-curve JSON)."""
@@ -363,10 +370,34 @@ def run_trajectory_parity(steps: int = 100):
     fn_d, _ = get_positional_encoder(4)
     criterion = torch.nn.MSELoss()
 
+    def snapshot():
+        """The reference's checkpoint dict (train.py:105-114) with numpy
+        leaves; RefPair's attribute names map to the reference NeRF
+        wrapper's (model/NeRF.py:58-59)."""
+        rename = {"coarse.": "model_coarse.", "fine.": "model_fine."}
+        sd = {}
+        for k, v in pair.state_dict().items():
+            for old, new in rename.items():
+                if k.startswith(old):
+                    k = new + k[len(old):]
+                    break
+            sd[k] = v.detach().numpy().copy()
+        osd = opt.state_dict()
+        np_opt = {
+            "state": {i: {kk: (vv.detach().numpy().copy()
+                               if torch.is_tensor(vv) else vv)
+                          for kk, vv in s.items()}
+                      for i, s in osd["state"].items()},
+            "param_groups": osd["param_groups"],
+        }
+        return {"idx": snapshot_at, "model_state_dict": sd,
+                "optimizer_state_dict": np_opt}
+
     rand_queue = []
     orig_device, orig_rand, orig_to = (torch.device, torch.rand,
                                        torch.Tensor.to)
     ref_loss = []
+    ref_ckpt = None
     try:
         torch.device = lambda *a, **k: orig_device("cpu")
         torch.rand = lambda *a, **k: rand_queue.pop(0)
@@ -391,10 +422,15 @@ def run_trajectory_parity(steps: int = 100):
             opt.step()
             sched.step()                             # reference main.py:161
             ref_loss.append(float(loss))
+            if snapshot_at is not None and i + 1 == snapshot_at:
+                ref_ckpt = snapshot()
     finally:
         torch.device, torch.rand, torch.Tensor.to = (orig_device, orig_rand,
                                                      orig_to)
 
+    if snapshot_at is not None:
+        extras = {"cfg": cfg, "batches": batches, "ref_ckpt": ref_ckpt}
+        return np.array(ours_loss), np.array(ref_loss), extras
     return np.array(ours_loss), np.array(ref_loss)
 
 
