@@ -80,21 +80,31 @@ def reference_state_dict_from_params(params: Any) -> Dict[str, np.ndarray]:
     return sd
 
 
-def _moment_trees(opt_sd: Dict[str, Any]) -> Tuple[Any, Any, int]:
+def _moment_trees(opt_sd: Dict[str, Any], params: Any
+                  ) -> Tuple[Any, Any, int]:
     """Torch Adam ``optimizer_state_dict`` -> (mu, nu, step) in OUR param
     tree layout.  Torch keys per-param state by index into parameters()
     order, which equals the state_dict key order (no buffers in the
-    reference model)."""
+    reference model).  Torch only materialises per-param state at the
+    first grad; a param that never trained continues from zero moments
+    (shapes taken from ``params``)."""
     state = opt_sd["state"]
     keys = reference_param_keys()
     mu_sd = {}
     nu_sd = {}
     step = 0
     for idx, key in enumerate(keys):
-        s = state[idx]
+        s = state.get(idx)
+        if s is None:
+            continue
         mu_sd[key] = np.asarray(s["exp_avg"], np.float32)
         nu_sd[key] = np.asarray(s["exp_avg_sq"], np.float32)
-        step = int(np.asarray(s["step"]))
+        step = max(step, int(np.asarray(s["step"])))
+    full = reference_state_dict_from_params(params)
+    for key in keys:
+        if key not in mu_sd:
+            mu_sd[key] = np.zeros_like(full[key])
+            nu_sd[key] = np.zeros_like(full[key])
     return (params_from_reference_state_dict(mu_sd),
             params_from_reference_state_dict(nu_sd), step)
 
@@ -122,7 +132,7 @@ def train_state_from_reference_checkpoint(ckpt: Dict[str, Any], cfg):
 
     opt_sd = ckpt.get("optimizer_state_dict")
     if opt_sd and opt_sd.get("state"):
-        mu, nu, opt_step = _moment_trees(opt_sd)
+        mu, nu, opt_step = _moment_trees(opt_sd, params)
         if idx == 0:
             idx = opt_step
         count = jnp.asarray(idx, jnp.int32)

@@ -136,6 +136,36 @@ def test_import_export_roundtrip_through_orbax(tmp_path):
         (adam(restored).mu, adam(restored).nu))
 
 
+def test_partial_optimizer_state_zero_fills():
+    """Torch materialises per-param Adam state lazily; an import from a
+    checkpoint where some params never saw a grad continues those from
+    zero moments instead of crashing."""
+    import jax
+    from nerf_pytorch_paeng_tpu.models import init_nerf
+    from nerf_pytorch_paeng_tpu.utils.interop import (
+        reference_state_dict_from_params,
+        train_state_from_reference_checkpoint)
+
+    cfg = _small_cfg()
+    _, params = init_nerf(cfg, jax.random.PRNGKey(0))
+    sd = reference_state_dict_from_params(params)
+    w0 = sd["model_coarse.linear_x.0.weight"]
+    ckpt = {"idx": 7, "model_state_dict": sd,
+            "optimizer_state_dict": {
+                "state": {0: {"step": np.asarray(7.0),
+                              "exp_avg": np.ones_like(w0),
+                              "exp_avg_sq": np.ones_like(w0)}},
+                "param_groups": []}}
+    state = train_state_from_reference_checkpoint(ckpt, cfg)
+    adam = next(s for s in state.opt_state if hasattr(s, "mu"))
+    assert int(adam.count) == 7 and int(state.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(adam.mu["coarse"]["trunk_0"]["kernel"]),
+        np.ones_like(w0).T)
+    assert float(np.abs(np.asarray(
+        adam.mu["fine"]["color"]["kernel"])).sum()) == 0.0
+
+
 def test_midtrain_switch_parity():
     """Train 20 steps in the live reference loop, checkpoint in its own
     format, import (params + Adam moments + step), continue 10 more steps
