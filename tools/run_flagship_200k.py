@@ -92,7 +92,20 @@ def harvest(exp_dir: str, iter_n: int, wall: float | None,
 
     rend = os.path.join(exp_dir, f"{EXP}_{iter_n}", "render_result")
     if os.path.isdir(rend):
-        art["render_artifacts"] = sorted(os.listdir(rend))[:6]
+        names = sorted(os.listdir(rend))
+        art["render_artifacts"] = names[:6]
+        # video-path throughput from frame-file mtimes (device render +
+        # pipelined PNG IO, eval/render.py); PNG frames only — the
+        # mp4/gif assembly at the end is host-side imageio
+        pngs = [os.path.join(rend, n) for n in names
+                if n.endswith(".png") and "disp" not in n]
+        if len(pngs) > 2:
+            ts = sorted(os.path.getmtime(p) for p in pngs)
+            span = ts[-1] - ts[0]
+            if span > 0:
+                art["render_frames"] = len(pngs)
+                art["render_sec_per_frame"] = round(
+                    span / (len(pngs) - 1), 3)
 
     out = os.path.join(ROOT, "docs", "artifacts", "FLAGSHIP_200K_r03.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
