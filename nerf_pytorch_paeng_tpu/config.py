@@ -180,7 +180,14 @@ class NerfConfig:
     # grid 0 = auto: 128 on a real TPU, disabled off-TPU (the grid MLP is
     # prohibitive in Pallas interpret mode; CPU tests opt in with a small
     # explicit grid).
-    render_precull: bool = True
+    # Default OFF: measured on the v5e bench scenes (tools/bench_precull.py,
+    # 2026-08-18), the segment-in-cube exemption caps the provably-missing
+    # fraction at ~0.22 (0.45 hard scene) and the phase-0 structure costs
+    # ~4 extra program dispatches + 1 extra host sync per frame on the
+    # remote backend — a net +61..+171 ms per 800x800 frame on all three
+    # scenes (agreement with the tau-cull path is exact, 120 dB).  Opt in
+    # for genuinely sparse scenes or low-dispatch-latency backends.
+    render_precull: bool = False
     render_precull_grid: int = 0
     render_precull_halfside: float = 0.0
     # sample-axis (SP/context-parallel analog) sharding for full-frame

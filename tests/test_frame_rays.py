@@ -260,7 +260,7 @@ def trained_full_width_compact():
     """A fitted full-width model with GLOBALLY compact support (the
     uniform-hinge + polish mode), so the pre-cull support bounds are
     valid — the quick ray-only fixture above leaves off-frustum junk."""
-    cfg = _cfg(render_precull_grid=16)
+    cfg = _cfg(render_precull=True, render_precull_grid=16)
     model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
     params, fit_loss = fit_field_to_blob(
         model, params0, jax.random.PRNGKey(1), n_steps=250, n_pts=2048,

@@ -34,7 +34,8 @@ def _cfg(**kw):
     base = dict(netDepth=4, netWidth=64, L_x=6, L_d=2,
                 N_samples_c=16, N_samples_f=24, near=2.0, far=6.0,
                 compute_dtype="float32", chunk_rays=256, perturb=0.0,
-                render_cull="auto", render_precull_grid=48)
+                render_cull="auto", render_precull=True,
+                render_precull_grid=48)
     base.update(kw)
     return NerfConfig(**base)
 
