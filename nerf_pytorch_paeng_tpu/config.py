@@ -180,14 +180,23 @@ class NerfConfig:
     # grid 0 = auto: 128 on a real TPU, disabled off-TPU (the grid MLP is
     # prohibitive in Pallas interpret mode; CPU tests opt in with a small
     # explicit grid).
-    # Default OFF: measured on the v5e bench scenes (tools/bench_precull.py,
-    # 2026-08-18), the segment-in-cube exemption caps the provably-missing
-    # fraction at ~0.22 (0.45 hard scene) and the phase-0 structure costs
-    # ~4 extra program dispatches + 1 extra host sync per frame on the
-    # remote backend — a net +61..+171 ms per 800x800 frame on all three
-    # scenes (agreement with the tau-cull path is exact, 120 dB).  Opt in
-    # for genuinely sparse scenes or low-dispatch-latency backends.
-    render_precull: bool = False
+    # Two implementations, selected by the frame renderer:
+    #  - rays-kernel path (the production 8x256 architecture): the
+    #    pre-cull is folded INTO the coarse program — provably-missing
+    #    rays are sorted into trailing kernel ray-tiles whose MLP is
+    #    skipped in-kernel (scalar-prefetched per-tile gates,
+    #    kernels/fused_mlp._sigma_rays_kernel_gated).  Zero extra
+    #    dispatches or host syncs; v5e A/B (tools/bench_precull.py,
+    #    2026-08-18): std 682->687 ms (noise), hi 834->802 ms, hard
+    #    660->578 ms, agreement with the tau-cull path exact (120 dB).
+    #  - XLA-fallback path: block-structured phase 0 (separate support
+    #    program + compaction) — measured a net +61..+171 ms/frame LOSS
+    #    on the remote backend (~4 extra dispatches + 1 extra host sync
+    #    against <=110 ms of savings), so it stays opt-in.
+    # "auto" (default) = pre-cull only where it is dispatch-free (the
+    # rays-kernel path); on/true = always (incl. the block-structured
+    # fallback); off/false = never.  bools accepted for compat.
+    render_precull: str = "auto"
     render_precull_grid: int = 0
     render_precull_halfside: float = 0.0
     # sample-axis (SP/context-parallel analog) sharding for full-frame
@@ -226,6 +235,9 @@ class NerfConfig:
         assert self.render_type in ("gif", "mp4"), self.render_type
         assert self.compute_dtype in ("bfloat16", "float32"), self.compute_dtype
         assert self.render_cull in ("auto", "none"), self.render_cull
+        assert str(self.render_precull).lower() in (
+            "auto", "on", "off", "true", "false", "t", "f", "yes", "no",
+            "y", "n", "0", "1"), self.render_precull
         assert self.N_samples_c > 0
         assert self.iter_warmup < self.iter_N + 1
         return self

@@ -39,6 +39,14 @@ Occupancy-culled rendering (``cfg.render_cull == "auto"``, the default):
   mass cut, stop at the window end — each drop is O(eps) on the coarse
   estimate), composite, and scatter into the (donated) frame buffers —
   all in the same program.
+  Phase-1 pre-cull (``cfg.render_precull``, default "auto" = rays-kernel
+  path only): support bounds of the coarse field (one cached grid
+  program per params, ops/occupancy.py) let rays that provably sample
+  only zero density skip the coarse MLP *inside* the phase-1 program —
+  they are sorted into trailing kernel ray-tiles and the sigma kernel's
+  per-tile gate stores exact zeros for them (_gated_sigma_t).  Zero
+  extra dispatches or syncs; culled-off rays get the identical (exactly
+  zero) weights their real evaluation yields.
 On trained scenes most background rays cull and most surface rays
 truncate, so the dominant fine-MLP cost scales with scene content instead
 of pixel count x sample count.  The error is bounded by tau (cull) and
@@ -126,6 +134,38 @@ def _mesh_size(mesh) -> int:
     return 1 if mesh is None else int(np.prod(list(dict(mesh.shape).values())))
 
 
+def _gated_sigma_t(packed_coarse, rays_o, rays_d, z_vals, pc, tile, pm,
+                   half, near, far, L_x, interpret):
+    """Coarse sigma for every ray with the dispatch-free pre-cull: rays
+    provably outside the support bounds ``pc`` are sorted last and whole
+    kernel ray-tiles of them skip the MLP via the gated sigma kernel
+    (kernels/fused_mlp._sigma_rays_kernel_gated).  Gated-off rays get
+    sigma == 0, i.e. exactly the zero compositing weights their real
+    (<= 0 logit) evaluation yields, so downstream (tau-cull ordering,
+    fine phase) is unchanged — same trust model and safety rails as the
+    block-structured phase 0 (ray_hits_bounds / segment_in_cube), at
+    zero extra programs or host syncs.
+
+    Returns [S, m] sigma logits in the ORIGINAL ray order.
+    """
+    from ..kernels.fused_mlp import fused_mlp_sigma_rays
+    m = rays_o.shape[0]
+    cullable = (~ray_hits_bounds(rays_o, rays_d, *pc, near, far)
+                & segment_in_cube(rays_o, rays_d, half, near, far))
+    order0 = jnp.argsort(cullable)                    # keepers first, stable
+    inv0 = jnp.zeros((m,), jnp.int32).at[order0].set(
+        jnp.arange(m, dtype=jnp.int32))
+    n_keep = m - jnp.sum(cullable)
+    od_s = _pack_od(rays_o, rays_d)[:, order0]
+    z_s = z_vals.T[:, order0]
+    od_p, z_p = _pad_rays_z(od_s, z_s, pm)
+    gate = (jnp.arange(pm // tile) * tile < n_keep).astype(jnp.int32)
+    sigma_s = fused_mlp_sigma_rays(
+        od_p, z_p, packed_coarse, L_x=L_x, tile_rays=tile,
+        interpret=interpret, out_dtype=jnp.bfloat16, gate=gate)[:, :m]
+    return sigma_s[:, inv0]
+
+
 def _shard_over_rays(body, mesh, n_ray_args: int, n_rep_args: int = 1):
     """shard_map ``body(params, *ray_args, key)`` with ray args split over
     every mesh axis and params/key replicated."""
@@ -192,10 +232,18 @@ def _precull_grid(cfg) -> int:
 
 
 def _use_precull(cfg) -> bool:
-    """Phase-0 support-bounds ray pre-culling (ops/occupancy.py): blender
-    orbit scenes only — the support cube is centered at the origin."""
-    return (getattr(cfg, "render_precull", False)
-            and cfg.data_type == "blender" and _precull_grid(cfg) > 0)
+    """Support-bounds ray pre-culling (ops/occupancy.py): blender orbit
+    scenes only — the support cube is centered at the origin.  The
+    default "auto" enables it only where it is dispatch-free (the gated
+    rays-kernel coarse program); explicit on also engages the
+    block-structured phase 0 on the XLA-fallback path (a measured net
+    loss on the remote backend — config.py render_precull notes)."""
+    mode = str(getattr(cfg, "render_precull", "auto")).lower()
+    if mode in ("off", "false", "f", "no", "n", "0"):
+        return False
+    if mode == "auto" and not _use_rays_kernels(cfg):
+        return False
+    return cfg.data_type == "blender" and _precull_grid(cfg) > 0
 
 
 def _precull_half(cfg) -> float:
@@ -666,6 +714,31 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     else:
         coarse_fn_b = _coarse_body
 
+    # ---- gated coarse body (rays-kernel path only): phase-0 pre-cull
+    # folded INTO the phase-1 program — pre-cullable rays are sorted last
+    # and whole kernel tiles of them skip the MLP (_gated_sigma_t), so
+    # pre-culling costs zero extra dispatches/syncs (the block-structured
+    # _phase0 path below costs ~4 dispatches + 1 sync and measured as a
+    # net loss on the v5e bench scenes — tools/bench_precull.py)
+    _half_pc = _precull_half(cfg)
+
+    def _coarse_body_gated(params, pc, rays_o, rays_d, key):
+        m = rays_o.shape[0]
+        z_vals = stratified_z_vals(key, m, near, far, n_coarse,
+                                   perturb=stratified)
+        tile, pm = _rays_tiling(m)
+        sigma_t = _gated_sigma_t(params["packed_coarse"], rays_o, rays_d,
+                                 z_vals, pc, tile, pm, _half_pc, near, far,
+                                 cfg.L_x, interpret)
+        weights = weights_from_sigma_t(sigma_t, z_vals.T, rays_d).T
+        return z_vals, weights
+
+    if n_mesh > 1:
+        coarse_gated_b = _shard_over_rays(_coarse_body_gated, mesh, 2,
+                                          n_rep_args=2)
+    else:
+        coarse_gated_b = _coarse_body_gated
+
     def _stats_tail(z_vals, weights):
         """Cull decision + per-ray sample requirements + background
         composite, from per-ray coarse stats (traced; shared by the
@@ -714,10 +787,22 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         return (rays_o, rays_d, z_vals, weights, order, class_cum,
                 rgb0, disp0)
 
+    @jax.jit
+    def _phase1_gated(params, pc, c2w, key):
+        """ONE program like _phase1, with the pre-cull folded in as
+        kernel-tile gating (rays-kernel path only)."""
+        rays_o, rays_d = gen_rays(c2w)
+        key = jax.random.fold_in(key, 0)
+        z_vals, weights = coarse_gated_b(params, pc, rays_o, rays_d, key)
+        order, class_cum, rgb0, disp0 = _stats_tail(z_vals, weights)
+        return (rays_o, rays_d, z_vals, weights, order, class_cum,
+                rgb0, disp0)
+
     # ---- phase-0 pre-cull programs (cfg.render_precull; module docstring
     # of ops/occupancy.py): rays whose [near, far] segment provably misses
     # the coarse field's sigma>0 support skip the coarse MLP entirely.
-    _half_pc = _precull_half(cfg)
+    # Used on the non-rays-kernel paths only — the rays path uses the
+    # dispatch-free gated phase 1 above.
 
     @jax.jit
     def _phase0(c2w, lo, hi, radius, valid):
@@ -850,7 +935,10 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         bounds_valid = False
         if use_precull:
             bounds, bounds_valid = _support_for_eval(model, params, cfg)
-        if bounds_valid:
+        if bounds_valid and use_rays:
+            (rays_o, rays_d, z_all, w_all, order, class_cum, rgb_frame,
+             disp_frame) = _phase1_gated(params, bounds, c2w, key)
+        elif bounds_valid:
             (rays_o, rays_d, order0, n_hit, z_all,
              w_all) = _phase0(c2w, *bounds)
             n_hit = int(np.asarray(n_hit))        # host sync 1 of 2

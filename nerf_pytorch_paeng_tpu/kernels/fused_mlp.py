@@ -249,11 +249,8 @@ _W_NAMES_SIGMA_RAYS = ("w0", "w1", "w2", "w3", "w4", "w5e", "w5h", "w6", "w7",
                        "wdens", "bdens")
 
 
-def _sigma_rays_kernel(L_x: int, s_rows: int, cdt, out_dtype,
-                       od_ref, z_ref, *refs):
-    w = dict(zip(_W_NAMES_SIGMA_RAYS, refs[:-1]))
-    out_ref = refs[-1]
-
+def _sigma_rays_body(L_x: int, s_rows: int, cdt, out_dtype,
+                     w, od_ref, z_ref, out_ref):
     def dot(a, h):
         return jax.lax.dot_general(
             a[:].astype(cdt), h.astype(cdt), (((1,), (0,)), ((), ())),
@@ -277,17 +274,50 @@ def _sigma_rays_kernel(L_x: int, s_rows: int, cdt, out_dtype,
     out_ref[:] = jnp.concatenate(rows, axis=0).astype(out_dtype)
 
 
+def _sigma_rays_kernel(L_x: int, s_rows: int, cdt, out_dtype,
+                       od_ref, z_ref, *refs):
+    w = dict(zip(_W_NAMES_SIGMA_RAYS, refs[:-1]))
+    _sigma_rays_body(L_x, s_rows, cdt, out_dtype, w, od_ref, z_ref, refs[-1])
+
+
+def _sigma_rays_kernel_gated(L_x: int, s_rows: int, cdt, out_dtype,
+                             gate_ref, od_ref, z_ref, *refs):
+    """Per-ray-tile gated variant: when gate[i] == 0 every ray in tile i
+    is provably outside the density support (eval/frame.py sorts
+    pre-cullable rays last and gates whole tiles), so the MLP is skipped
+    and zero sigma is stored — relu(0) = 0 gives exactly the zero
+    compositing weights the real (<= 0 logit) evaluation would."""
+    w = dict(zip(_W_NAMES_SIGMA_RAYS, refs[:-1]))
+    out_ref = refs[-1]
+    active = gate_ref[pl.program_id(0)] != 0
+
+    @pl.when(active)
+    def _():
+        _sigma_rays_body(L_x, s_rows, cdt, out_dtype, w, od_ref, z_ref,
+                         out_ref)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_dtype)
+
+
 def fused_mlp_sigma_rays(od: jnp.ndarray, z_t: jnp.ndarray,
                          packed: Dict[str, jnp.ndarray], L_x: int = 10,
                          tile_rays: int = 8192, s_rows: int = 8,
                          interpret: bool = False,
-                         out_dtype=jnp.float32) -> jnp.ndarray:
+                         out_dtype=jnp.float32,
+                         gate: jnp.ndarray | None = None) -> jnp.ndarray:
     """Density along rays with positions built in-kernel.
 
     Args:
       od:  [8, N] float32 rays — rows 0-2 origin, 3-5 (unnormalised)
            direction, 6-7 padding.  N % tile_rays == 0.
       z_t: [S, N] float32 per-sample depths (sample-major; S % s_rows == 0).
+      gate: optional int32 [N // tile_rays] per-ray-tile flags (scalar-
+           prefetched).  Tiles with gate 0 skip the MLP and store zero
+           sigma — the dispatch-free pre-cull: the caller certifies every
+           ray in a gated-off tile samples only zero density, so zero
+           logits give the identical (exactly zero) compositing weights.
     Returns:
       [S, N] raw sigma logits (out_dtype).
     """
@@ -296,29 +326,8 @@ def fused_mlp_sigma_rays(od: jnp.ndarray, z_t: jnp.ndarray,
     assert n % tile_rays == 0, (n, tile_rays)
     assert s % s_rows == 0, (s, s_rows)
 
-    weight_specs = [
-        pl.BlockSpec(packed[name].shape, lambda i, j: (0, 0),
-                     memory_space=pltpu.VMEM)
-        for name in _W_NAMES_SIGMA_RAYS
-    ]
-    grid_spec = pl.GridSpec(
-        # rays outer, samples inner: the od block is constant along j, so
-        # Mosaic keeps it resident across the inner sample sweep
-        grid=(n // tile_rays, s // s_rows),
-        in_specs=[
-            pl.BlockSpec((8, tile_rays), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_rows, tile_rays), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            *weight_specs,
-        ],
-        out_specs=pl.BlockSpec((s_rows, tile_rays), lambda i, j: (j, i),
-                               memory_space=pltpu.VMEM),
-    )
     cdt = jnp.float32 if interpret else jnp.bfloat16
-    return pl.pallas_call(
-        functools.partial(_sigma_rays_kernel, L_x, s_rows, cdt, out_dtype),
-        grid_spec=grid_spec,
+    kwargs = dict(
         out_shape=jax.ShapeDtypeStruct((s, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -328,7 +337,61 @@ def fused_mlp_sigma_rays(od: jnp.ndarray, z_t: jnp.ndarray,
             bytes_accessed=(8 + s) * 4 * n + s * n * 4,
             transcendentals=6 * n * s),
         interpret=interpret,
-    )(od, z_t, *[packed[name] for name in _W_NAMES_SIGMA_RAYS])
+    )
+    # rays outer, samples inner: the od block is constant along j, so
+    # Mosaic keeps it resident across the inner sample sweep
+    grid = (n // tile_rays, s // s_rows)
+    weights = [packed[name] for name in _W_NAMES_SIGMA_RAYS]
+
+    if gate is None:
+        weight_specs = [
+            pl.BlockSpec(packed[name].shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for name in _W_NAMES_SIGMA_RAYS
+        ]
+        grid_spec = pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, tile_rays), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s_rows, tile_rays), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                *weight_specs,
+            ],
+            out_specs=pl.BlockSpec((s_rows, tile_rays), lambda i, j: (j, i),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            functools.partial(_sigma_rays_kernel, L_x, s_rows, cdt,
+                              out_dtype),
+            grid_spec=grid_spec, **kwargs)(od, z_t, *weights)
+
+    assert gate.shape == (n // tile_rays,), (gate.shape, n, tile_rays)
+    # scalar-prefetch grid spec: index maps gain the gate ref as a
+    # trailing argument
+    weight_specs = [
+        pl.BlockSpec(packed[name].shape, lambda i, j, g: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for name in _W_NAMES_SIGMA_RAYS
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, tile_rays), lambda i, j, g: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_rows, tile_rays), lambda i, j, g: (j, i),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=pl.BlockSpec((s_rows, tile_rays), lambda i, j, g: (j, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_sigma_rays_kernel_gated, L_x, s_rows, cdt,
+                          out_dtype),
+        grid_spec=grid_spec, **kwargs)(
+            gate.astype(jnp.int32), od, z_t, *weights)
 
 
 def _eval_rays_kernel(L_x: int, L_d: int, s_rows: int, cdt, out_dtype,

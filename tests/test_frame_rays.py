@@ -308,3 +308,79 @@ def test_precull_pallas_support_path(trained_full_width_compact):
     # the P0/P1-block/tail structure through the rays kernels; genuine
     # hit/miss compaction is covered by tests/test_precull.py (XLA path,
     # tighter 4x64 fits) and the synthetic-bounds mesh test there.
+
+
+def test_gated_sigma_skips_cullable_tiles(trained_full_width):
+    """_gated_sigma_t (the dispatch-free pre-cull inside phase 1): rays
+    provably outside the support bounds are sorted into trailing kernel
+    tiles whose MLP is skipped — keeper columns bit-equal the ungated
+    kernel, cullable columns come back exactly 0, and the gate provably
+    engaged (the real logits of those rays are nonzero)."""
+    from nerf_pytorch_paeng_tpu.eval.frame import (_gated_sigma_t,
+                                                   _pack_for_eval,
+                                                   _pack_od)
+    from nerf_pytorch_paeng_tpu.kernels.fused_mlp import fused_mlp_sigma_rays
+    from nerf_pytorch_paeng_tpu.ops.sampling import stratified_z_vals
+
+    cfg, model, params = trained_full_width
+    packed = _pack_for_eval(params, cfg)["packed_coarse"]
+    m, s, tile = 512, 8, 128
+
+    # interleave keepers (through the synthetic AABB at the origin) with
+    # soundly-cullable rays (x offset 3 — outside the box, inside the
+    # huge estimation cube), so the in-program sort genuinely reorders
+    x_off = np.where(np.arange(m) % 2 == 0, 0.0, 3.0)
+    rays_o = jnp.asarray(
+        np.stack([x_off, np.zeros(m), np.full(m, 4.0)], -1), jnp.float32)
+    rays_d = jnp.asarray(
+        np.broadcast_to(np.array([0.0, 0.0, -1.0], np.float32), (m, 3)))
+    pc = (jnp.asarray([-1.0, -1.0, -1.0]), jnp.asarray([1.0, 1.0, 1.0]),
+          jnp.asarray([1.8]), jnp.asarray([True]))
+    z_vals = stratified_z_vals(jax.random.PRNGKey(7), m, 2.0, 6.0, s,
+                               perturb=False)
+
+    sigma = np.asarray(_gated_sigma_t(
+        packed, rays_o, rays_d, z_vals, pc, tile, m, half=50.0,
+        near=2.0, far=6.0, L_x=cfg.L_x, interpret=True))
+    ref = np.asarray(fused_mlp_sigma_rays(
+        _pack_od(rays_o, rays_d), z_vals.T, packed, L_x=cfg.L_x,
+        tile_rays=tile, interpret=True, out_dtype=jnp.bfloat16))
+
+    keep = np.arange(m) % 2 == 0
+    np.testing.assert_array_equal(sigma[:, keep], ref[:, keep])
+    np.testing.assert_array_equal(sigma[:, ~keep], 0.0)
+    assert not np.array_equal(ref[:, ~keep], np.zeros_like(ref[:, ~keep]))
+
+
+def test_gated_precull_rays_on_mesh(trained_full_width_compact):
+    """The gated-precull phase 1 (shard_map'd _coarse_body_gated, bounds
+    replicated) over the 8-device mesh equals both the single-device
+    gated render and the plain tau-culled render (deterministic
+    sampling: keeper rays are bit-equal through the kernel, and sound
+    bounds make cullable rays' weights exactly 0 on every path)."""
+    from nerf_pytorch_paeng_tpu.parallel import make_mesh
+    cfg, model, params = trained_full_width_compact
+    from nerf_pytorch_paeng_tpu.eval.frame import _use_precull
+    assert _use_precull(cfg) and _use_rays_kernels(cfg)
+    H = W = 8
+    _, K, poses = make_synth_scene(n_views=1, H=H, W=W)
+    c2w = jnp.asarray(poses[0][:3, :4])
+    key = jax.random.PRNGKey(9)
+
+    single = make_frame_renderer(model, cfg, H, W, K, stratified=False)
+    rgb1, disp1 = single(params, c2w, key)
+    mesh = make_mesh(8, 1)
+    sharded = make_frame_renderer(model, cfg, H, W, K, mesh=mesh,
+                                  stratified=False)
+    rgb8, disp8 = sharded(params, c2w, key)
+    np.testing.assert_allclose(np.asarray(rgb8), np.asarray(rgb1),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(disp8), np.asarray(disp1),
+                               rtol=1e-3, atol=5e-3)
+
+    plain = make_frame_renderer(
+        model, dataclasses.replace(cfg, render_precull=False), H, W, K,
+        mesh=mesh, stratified=False)
+    rgb_p, _ = plain(params, c2w, key)
+    np.testing.assert_allclose(np.asarray(rgb8), np.asarray(rgb_p),
+                               atol=1e-5)
