@@ -224,6 +224,11 @@ def bench_render(H: int = 800, W: int = 800, block=None,
 
 
 def main():
+    # persistent compile cache: correctness-neutral, kills the 20-60 s
+    # per-program remote compiles on repeat runs (utils/compile_cache.py)
+    from nerf_pytorch_paeng_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+    enable_persistent_compile_cache()
     dev = jax.devices()[0]
     rays_per_sec, sec_per_step, sec_scanned, train_mfu = bench_train()
     extras = {}

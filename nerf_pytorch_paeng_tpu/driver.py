@@ -65,6 +65,10 @@ def _llff_render_poses_34(render_poses):
 
 
 def main_worker(cfg: NerfConfig) -> None:
+    from .utils.compile_cache import enable_persistent_compile_cache
+    cache_dir = enable_persistent_compile_cache(cfg.compile_cache)
+    if cache_dir:
+        print(f">> compile cache: {cache_dir}")
     maybe_initialize_distributed()
     print(f">> devices: {jax.devices()}")
     mesh = make_mesh(cfg.n_data_shards, cfg.n_model_shards)
