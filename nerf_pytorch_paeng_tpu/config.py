@@ -182,13 +182,21 @@ class NerfConfig:
     # explicit grid).
     # Two implementations, selected by the frame renderer:
     #  - rays-kernel path (the production 8x256 architecture): the
-    #    pre-cull is folded INTO the coarse program — provably-missing
-    #    rays are sorted into trailing kernel ray-tiles whose MLP is
-    #    skipped in-kernel (scalar-prefetched per-tile gates,
-    #    kernels/fused_mlp._sigma_rays_kernel_gated).  Zero extra
-    #    dispatches or host syncs; v5e A/B (tools/bench_precull.py,
-    #    2026-08-18): std 682->687 ms (noise), hi 834->802 ms, hard
-    #    660->578 ms, agreement with the tau-cull path exact (120 dB).
+    #    pre-cull is folded INTO the coarse program at (ray-tile,
+    #    8-sample-row) granularity — each ray gets a conservative
+    #    support interval, rays are sorted by which depth rows it
+    #    touches, and the sigma kernel skips gated-off (tile, row) grid
+    #    steps in-kernel (scalar-prefetched gates,
+    #    kernels/fused_mlp._sigma_rays_kernel_gated); support-hitting
+    #    rays skip their empty depth rows too, not only whole misses.
+    #    Zero extra dispatches or host syncs; v5e A/B of the row-granular
+    #    form (tools/bench_precull.py, 2026-08-19): std 660->592 ms
+    #    (44% of coarse row-steps gated), hi 819->736 ms (49%), hard
+    #    651->509 ms (65%); agreement with the tau-cull path 53-68 dB —
+    #    the residual is the documented sub-cell grid-sampling trust
+    #    (ops/occupancy.py), orders of magnitude inside the 0.05 dB
+    #    guard.  (The earlier whole-ray form gated only provable-miss
+    #    rays: std was noise-level, hard 660->578 ms.)
     #  - XLA-fallback path: block-structured phase 0 (separate support
     #    program + compaction) — measured a net +61..+171 ms/frame LOSS
     #    on the remote backend (~4 extra dispatches + 1 extra host sync

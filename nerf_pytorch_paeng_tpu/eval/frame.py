@@ -41,11 +41,15 @@ Occupancy-culled rendering (``cfg.render_cull == "auto"``, the default):
   all in the same program.
   Phase-1 pre-cull (``cfg.render_precull``, default "auto" = rays-kernel
   path only): support bounds of the coarse field (one cached grid
-  program per params, ops/occupancy.py) let rays that provably sample
-  only zero density skip the coarse MLP *inside* the phase-1 program —
-  they are sorted into trailing kernel ray-tiles and the sigma kernel's
-  per-tile gate stores exact zeros for them (_gated_sigma_t).  Zero
-  extra dispatches or syncs; culled-off rays get the identical (exactly
+  program per params, ops/occupancy.py) give every ray a conservative
+  support interval [t_lo, t_hi]; samples provably outside it skip the
+  coarse MLP *inside* the phase-1 program, at (ray-tile, 8-sample-row)
+  granularity — rays are sorted by interval row span so tiles share
+  spans, and the sigma kernel's per-(tile, row) gate stores exact zeros
+  for the skipped grid steps (_gated_sigma_t).  Provable misses (empty
+  interval) gate every row, which is the whole-ray cull; support-hitting
+  rays still skip the depth rows outside their interval.  Zero extra
+  dispatches or syncs; gated-off samples get the identical (exactly
   zero) weights their real evaluation yields.
 On trained scenes most background rays cull and most surface rays
 truncate, so the dominant fine-MLP cost scales with scene content instead
@@ -65,8 +69,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.nerf import NeRF
-from ..ops.occupancy import (ray_hits_bounds, segment_in_cube,
-                             support_bounds_from_sigma)
+from ..ops.occupancy import (ray_hits_bounds, ray_support_interval,
+                             segment_in_cube, support_bounds_from_sigma)
 from ..ops.rays import get_rays
 from ..ops.render import (_pallas_interpret, hierarchical_fine_pass,
                           hierarchical_z_vals, truncation_bounds,
@@ -134,35 +138,85 @@ def _mesh_size(mesh) -> int:
     return 1 if mesh is None else int(np.prod(list(dict(mesh.shape).values())))
 
 
+_GATE_S_ROWS = 8   # the rays-kernel sample-row sweep (fused_mlp_sigma_rays)
+
+
+def _row_envelopes(near: float, far: float, s: int, s_rows: int):
+    """Static per-row depth envelopes of stratified_z_vals' bins: row k
+    (samples k*s_rows .. (k+1)*s_rows - 1) lies in [row_lo[k], row_hi[k]]
+    for EVERY jitter draw (sample j is jittered within
+    [mid(z_{j-1}, z_j), mid(z_j, z_{j+1})], edges clamped to near/far).
+    Widened by 1e-4*(far-near) so fp32 z rounding can never escape."""
+    zs = np.linspace(near, far, s, dtype=np.float64)
+    if s > 1:
+        mids = 0.5 * (zs[1:] + zs[:-1])
+        lower = np.concatenate([zs[:1], mids])
+        upper = np.concatenate([mids, zs[-1:]])
+    else:
+        lower = upper = zs
+    margin = 1e-4 * (far - near)
+    k = np.arange(s // s_rows)
+    return (jnp.asarray(lower[k * s_rows] - margin, jnp.float32),
+            jnp.asarray(upper[k * s_rows + s_rows - 1] + margin,
+                        jnp.float32))
+
+
 def _gated_sigma_t(packed_coarse, rays_o, rays_d, z_vals, pc, tile, pm,
                    half, near, far, L_x, interpret):
-    """Coarse sigma for every ray with the dispatch-free pre-cull: rays
-    provably outside the support bounds ``pc`` are sorted last and whole
-    kernel ray-tiles of them skip the MLP via the gated sigma kernel
-    (kernels/fused_mlp._sigma_rays_kernel_gated).  Gated-off rays get
-    sigma == 0, i.e. exactly the zero compositing weights their real
-    (<= 0 logit) evaluation yields, so downstream (tau-cull ordering,
-    fine phase) is unchanged — same trust model and safety rails as the
-    block-structured phase 0 (ray_hits_bounds / segment_in_cube), at
-    zero extra programs or host syncs.
+    """Coarse sigma for every ray with the dispatch-free pre-cull, at
+    (ray-tile, sample-row) granularity: each ray gets a conservative
+    support interval [t_lo, t_hi] (ops/occupancy.ray_support_interval —
+    empty for provable misses, [near, far] for rays whose segment leaves
+    the estimation cube), rays are sorted by which 8-sample depth rows
+    that interval touches, and the gated sigma kernel skips every
+    (ray-tile, row) grid step no ray in the tile needs
+    (kernels/fused_mlp._sigma_rays_kernel_gated).  Gated-off samples get
+    sigma == 0 — exactly the zero compositing weights their real
+    (<= 0 logit) evaluation yields — so downstream (tau-cull ordering,
+    fine phase) sees identical weights; same trust model and safety
+    rails as the block-structured phase 0, at zero extra programs or
+    host syncs.  Whole-ray culling is the span-empty special case, and
+    rays that DO hit the support still skip the depth rows outside
+    their interval (most of a thin object's [near, far] range).
 
-    Returns [S, m] sigma logits in the ORIGINAL ray order.
+    Returns [S, m] sigma logits in the ORIGINAL ray order: bit-equal to
+    the ungated kernel on active (tile, row) blocks, exact zeros on
+    gated ones — relu makes the compositing weights identical either
+    way.
     """
     from ..kernels.fused_mlp import fused_mlp_sigma_rays
-    m = rays_o.shape[0]
-    cullable = (~ray_hits_bounds(rays_o, rays_d, *pc, near, far)
-                & segment_in_cube(rays_o, rays_d, half, near, far))
-    order0 = jnp.argsort(cullable)                    # keepers first, stable
+    m, s = z_vals.shape
+    n_rows = s // _GATE_S_ROWS
+    t_lo, t_hi = ray_support_interval(rays_o, rays_d, *pc, near, far)
+    inside = segment_in_cube(rays_o, rays_d, half, near, far)
+    # outside the estimation cube the grid certifies nothing: full span
+    t_lo = jnp.where(inside, t_lo, near)
+    t_hi = jnp.where(inside, t_hi, far)
+    row_lo, row_hi = _row_envelopes(near, far, s, _GATE_S_ROWS)
+    act = ((t_lo[:, None] <= row_hi[None])
+           & (t_hi[:, None] >= row_lo[None]))        # [m, n_rows]
+    # sort by (first, last) active row so tiles share spans; empty spans
+    # (provable misses) sort last — the whole-ray cull falls out for free
+    any_act = jnp.any(act, 1)
+    first = jnp.argmax(act, 1)
+    last = (n_rows - 1) - jnp.argmax(act[:, ::-1], 1)
+    span_key = jnp.where(any_act, first * (n_rows + 1) + last,
+                         n_rows * (n_rows + 2))
+    order0 = jnp.argsort(span_key)                    # stable
     inv0 = jnp.zeros((m,), jnp.int32).at[order0].set(
         jnp.arange(m, dtype=jnp.int32))
-    n_keep = m - jnp.sum(cullable)
     od_s = _pack_od(rays_o, rays_d)[:, order0]
     z_s = z_vals.T[:, order0]
     od_p, z_p = _pad_rays_z(od_s, z_s, pm)
-    gate = (jnp.arange(pm // tile) * tile < n_keep).astype(jnp.int32)
+    act_s = act[order0]
+    if pm != m:                                       # padding rays: gated
+        act_s = jnp.concatenate(
+            [act_s, jnp.zeros((pm - m, n_rows), bool)], 0)
+    gate = jnp.any(act_s.reshape(pm // tile, tile, n_rows), 1)
     sigma_s = fused_mlp_sigma_rays(
         od_p, z_p, packed_coarse, L_x=L_x, tile_rays=tile,
-        interpret=interpret, out_dtype=jnp.bfloat16, gate=gate)[:, :m]
+        s_rows=_GATE_S_ROWS, interpret=interpret, out_dtype=jnp.bfloat16,
+        gate=gate.reshape(-1).astype(jnp.int32))[:, :m]
     return sigma_s[:, inv0]
 
 

@@ -282,14 +282,18 @@ def _sigma_rays_kernel(L_x: int, s_rows: int, cdt, out_dtype,
 
 def _sigma_rays_kernel_gated(L_x: int, s_rows: int, cdt, out_dtype,
                              gate_ref, od_ref, z_ref, *refs):
-    """Per-ray-tile gated variant: when gate[i] == 0 every ray in tile i
-    is provably outside the density support (eval/frame.py sorts
-    pre-cullable rays last and gates whole tiles), so the MLP is skipped
-    and zero sigma is stored — relu(0) = 0 gives exactly the zero
-    compositing weights the real (<= 0 logit) evaluation would."""
+    """Per-(ray-tile, sample-row) gated variant: when
+    gate[i * n_row_blocks + j] == 0 every sample of row block j of every
+    ray in tile i is provably outside the density support (eval/frame.py
+    sorts rays by their support-interval row span so tiles share spans),
+    so the MLP is skipped for that grid step and zero sigma is stored —
+    relu(0) = 0 gives exactly the zero compositing weights the real
+    (<= 0 logit) evaluation would.  A fully pre-cullable ray simply has
+    every row gated off (the whole-ray cull is the span-empty case)."""
     w = dict(zip(_W_NAMES_SIGMA_RAYS, refs[:-1]))
     out_ref = refs[-1]
-    active = gate_ref[pl.program_id(0)] != 0
+    active = gate_ref[pl.program_id(0) * pl.num_programs(1)
+                      + pl.program_id(1)] != 0
 
     @pl.when(active)
     def _():
@@ -313,11 +317,15 @@ def fused_mlp_sigma_rays(od: jnp.ndarray, z_t: jnp.ndarray,
       od:  [8, N] float32 rays — rows 0-2 origin, 3-5 (unnormalised)
            direction, 6-7 padding.  N % tile_rays == 0.
       z_t: [S, N] float32 per-sample depths (sample-major; S % s_rows == 0).
-      gate: optional int32 [N // tile_rays] per-ray-tile flags (scalar-
-           prefetched).  Tiles with gate 0 skip the MLP and store zero
-           sigma — the dispatch-free pre-cull: the caller certifies every
-           ray in a gated-off tile samples only zero density, so zero
-           logits give the identical (exactly zero) compositing weights.
+      gate: optional int32 [(N // tile_rays) * (S // s_rows)] per-
+           (ray-tile, sample-row) flags, row-major in (tile, row) —
+           i.e. a flattened [n_tiles, n_row_blocks] grid (scalar-
+           prefetched).  Grid steps with gate 0 skip the MLP and store
+           zero sigma — the dispatch-free pre-cull: the caller certifies
+           every sample in a gated-off (tile, row) block lies outside
+           the density support, so zero logits give the identical
+           (exactly zero) compositing weights the real (<= 0 logit)
+           evaluation yields.
     Returns:
       [S, N] raw sigma logits (out_dtype).
     """
@@ -366,7 +374,8 @@ def fused_mlp_sigma_rays(od: jnp.ndarray, z_t: jnp.ndarray,
                               out_dtype),
             grid_spec=grid_spec, **kwargs)(od, z_t, *weights)
 
-    assert gate.shape == (n // tile_rays,), (gate.shape, n, tile_rays)
+    assert gate.shape == ((n // tile_rays) * (s // s_rows),), (
+        gate.shape, n, tile_rays, s, s_rows)
     # scalar-prefetch grid spec: index maps gain the gate ref as a
     # trailing argument
     weight_specs = [

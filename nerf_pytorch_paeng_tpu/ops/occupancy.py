@@ -116,38 +116,59 @@ def support_bounds_from_sigma(sigma_plane_fn, half_side: float,
     return lo, hi, r.reshape(1), valid.reshape(1)
 
 
-def ray_hits_bounds(rays_o, rays_d, lo, hi, radius, valid,
-                    near: float, far: float):
-    """Conservative hit test of ray segments against the support bounds.
+def ray_support_interval(rays_o, rays_d, lo, hi, radius, valid,
+                         near: float, far: float):
+    """Conservative per-ray depth interval that contains every support
+    intersection: outside ``[t_lo, t_hi]`` the point ``o + t d`` provably
+    lies outside the AABB [lo, hi] *or* outside the bounding sphere
+    (center = AABB center), hence outside the density support — pure
+    slab/quadratic vector math, no gathers (TPU-friendly).
 
-    True when the segment {o + t d : t in [near, far]} intersects BOTH the
-    AABB [lo, hi] and the bounding sphere (center = AABB center) — pure
-    slab/quadratic vector math, no gathers (TPU-friendly).  With
-    ``valid == False`` every ray reports a hit.
+    The interval is the intersection of the slab interval, the sphere
+    chord interval, and [near, far]; a miss is encoded as an empty
+    interval (``t_lo > t_hi``).  With ``valid == False`` nothing is
+    certifiable and every ray gets the full [near, far].
 
-    rays_o/rays_d [M, 3] -> hit [M] bool.
+    rays_o/rays_d [M, 3] -> (t_lo [M], t_hi [M]) float32.
     """
     inv = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12,
                           jnp.where(rays_d < 0, -1e-12, 1e-12), rays_d)
     t1 = (lo[None] - rays_o) * inv
     t2 = (hi[None] - rays_o) * inv
-    t_in = jnp.max(jnp.minimum(t1, t2), -1)
-    t_out = jnp.min(jnp.maximum(t1, t2), -1)
-    t_in = jnp.maximum(t_in, near)
-    t_out = jnp.minimum(t_out, far)
-    hit_box = t_in <= t_out
+    t_lo = jnp.max(jnp.minimum(t1, t2), -1)
+    t_hi = jnp.min(jnp.maximum(t1, t2), -1)
 
-    # sphere |o + t d - c|^2 <= r^2 for some t in [near, far]: closest
-    # point of the segment to the center
+    # sphere |o + t d - c|^2 <= r^2: quadratic chord interval
     c = 0.5 * (lo + hi)
     oc = rays_o - c[None]
-    dd = jnp.sum(rays_d * rays_d, -1)
-    t_star = -jnp.sum(oc * rays_d, -1) / jnp.maximum(dd, 1e-12)
-    t_star = jnp.clip(t_star, near, far)
-    closest = oc + rays_d * t_star[:, None]
-    hit_sph = jnp.sum(closest * closest, -1) <= radius[0] ** 2
+    dd = jnp.maximum(jnp.sum(rays_d * rays_d, -1), 1e-12)
+    b_half = jnp.sum(oc * rays_d, -1)
+    disc = b_half * b_half - dd * (jnp.sum(oc * oc, -1) - radius[0] ** 2)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    ts_lo = (-b_half - sq) / dd
+    ts_hi = jnp.where(disc >= 0.0, (-b_half + sq) / dd, ts_lo - 1.0)
 
-    return (hit_box & hit_sph) | ~valid[0]
+    t_lo = jnp.maximum(jnp.maximum(t_lo, ts_lo), near)
+    t_hi = jnp.minimum(jnp.minimum(t_hi, ts_hi), far)
+    t_lo = jnp.where(valid[0], t_lo, near)
+    t_hi = jnp.where(valid[0], t_hi, far)
+    return t_lo, t_hi
+
+
+def ray_hits_bounds(rays_o, rays_d, lo, hi, radius, valid,
+                    near: float, far: float):
+    """Conservative hit test of ray segments against the support bounds:
+    True when ``ray_support_interval`` is non-empty, i.e. when some
+    t in [near, far] may lie in BOTH the AABB and the bounding sphere
+    (interval intersection — strictly stronger than testing the box and
+    sphere independently).  With ``valid == False`` every ray reports a
+    hit.
+
+    rays_o/rays_d [M, 3] -> hit [M] bool.
+    """
+    t_lo, t_hi = ray_support_interval(rays_o, rays_d, lo, hi, radius,
+                                      valid, near, far)
+    return t_lo <= t_hi
 
 
 def segment_in_cube(rays_o, rays_d, half_side: float,

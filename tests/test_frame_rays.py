@@ -352,6 +352,116 @@ def test_gated_sigma_skips_cullable_tiles(trained_full_width):
     assert not np.array_equal(ref[:, ~keep], np.zeros_like(ref[:, ~keep]))
 
 
+def test_gated_sigma_row_gating(trained_full_width):
+    """Sample-row granularity of the dispatch-free pre-cull: rays that
+    HIT the support still skip the 8-sample depth rows outside their
+    conservative support interval.  Two ray groups land in two kernel
+    tiles with DIFFERENT row spans (also pinning the flat (tile, row)
+    gate index order): group A's interval touches only the middle of
+    3 rows; group B exits the estimation cube, so nothing of it may be
+    gated.  Active (tile, row) blocks are bit-equal to the ungated
+    kernel, gated ones exact zeros, and the ungated kernel's values
+    there are nonzero (the gate did real work)."""
+    from nerf_pytorch_paeng_tpu.eval.frame import (_gated_sigma_t,
+                                                   _pack_for_eval,
+                                                   _pack_od)
+    from nerf_pytorch_paeng_tpu.kernels.fused_mlp import fused_mlp_sigma_rays
+    from nerf_pytorch_paeng_tpu.ops.sampling import stratified_z_vals
+
+    cfg, model, params = trained_full_width
+    packed = _pack_for_eval(params, cfg)["packed_coarse"]
+    m, s, tile = 256, 24, 128                    # 3 sample rows of 8
+    # group A: straight through a synthetic box/sphere around the origin
+    # -> support interval t in [3.5, 4.5] (middle row of [2, 6] only);
+    # group B: origin z=8 puts the t=2 endpoint at z=6 > half=5, outside
+    # the estimation cube -> exempt (full span)
+    oz = np.where(np.arange(m) < m // 2, 4.0, 8.0)
+    rays_o = jnp.asarray(
+        np.stack([np.zeros(m), np.zeros(m), oz], -1), jnp.float32)
+    rays_d = jnp.asarray(
+        np.broadcast_to(np.array([0.0, 0.0, -1.0], np.float32), (m, 3)))
+    pc = (jnp.asarray([-0.5, -0.5, -0.5]), jnp.asarray([0.5, 0.5, 0.5]),
+          jnp.asarray([0.9]), jnp.asarray([True]))
+    z_vals = stratified_z_vals(jax.random.PRNGKey(7), m, 2.0, 6.0, s,
+                               perturb=True)     # jittered: envelopes hold
+    sigma = np.asarray(_gated_sigma_t(
+        packed, rays_o, rays_d, z_vals, pc, tile, m, half=5.0,
+        near=2.0, far=6.0, L_x=cfg.L_x, interpret=True))
+    ref = np.asarray(fused_mlp_sigma_rays(
+        _pack_od(rays_o, rays_d), z_vals.T, packed, L_x=cfg.L_x,
+        tile_rays=tile, interpret=True, out_dtype=jnp.bfloat16))
+
+    a = np.arange(m) < m // 2
+    np.testing.assert_array_equal(sigma[:, ~a], ref[:, ~a])   # B: untouched
+    np.testing.assert_array_equal(sigma[8:16, a], ref[8:16, a])
+    np.testing.assert_array_equal(sigma[:8, a], 0.0)          # A: rows 0, 2
+    np.testing.assert_array_equal(sigma[16:, a], 0.0)         # gated
+    assert not np.array_equal(ref[:8, a], np.zeros_like(ref[:8, a]))
+    assert not np.array_equal(ref[16:, a], np.zeros_like(ref[16:, a]))
+
+
+def test_gated_row_precull_render_matches(trained_full_width_compact):
+    """End-to-end multi-row gating with GENUINE support bounds: at 24+8
+    samples (3 coarse rows) the pre-culled rays-kernel render must equal
+    the plain tau-culled one bit-for-bit on compositing weights (atol
+    1e-5 on the frame), and the bounds must actually induce partial row
+    spans on support-hitting rays (row-level work skipped, not only
+    whole rays)."""
+    from nerf_pytorch_paeng_tpu.eval.frame import (_pack_for_eval,
+                                                   _precull_half,
+                                                   _support_for_eval,
+                                                   _use_precull)
+    from nerf_pytorch_paeng_tpu.ops.occupancy import (ray_support_interval,
+                                                      segment_in_cube)
+    from nerf_pytorch_paeng_tpu.ops.rays import get_rays
+
+    cfg, model, params = trained_full_width_compact
+    cfg = dataclasses.replace(cfg, N_samples_c=24, N_samples_f=8)
+    assert _use_precull(cfg) and _use_rays_kernels(cfg)
+    H = W = 16
+    _, K, poses = make_synth_scene(n_views=1, H=H, W=W)
+    c2w = jnp.asarray(poses[0][:3, :4])
+    key = jax.random.PRNGKey(5)
+
+    r_pre = make_frame_renderer(model, cfg, H, W, K, stratified=False)
+    r_cull = make_frame_renderer(
+        model, dataclasses.replace(cfg, render_precull=False), H, W, K,
+        stratified=False)
+    rgb_p, disp_p = r_pre(params, c2w, key)
+    rgb_c, disp_c = r_cull(params, c2w, key)
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_c),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(disp_p), np.asarray(disp_c),
+                               atol=1e-4)
+
+    # row gating under shard_map (per-shard gate construction) == single
+    # device
+    from nerf_pytorch_paeng_tpu.parallel import make_mesh
+    mesh = make_mesh(8, 1)
+    r_pre8 = make_frame_renderer(model, cfg, H, W, K, mesh=mesh,
+                                 stratified=False)
+    rgb_p8, disp_p8 = r_pre8(params, c2w, key)
+    np.testing.assert_allclose(np.asarray(rgb_p8), np.asarray(rgb_p),
+                               rtol=1e-3, atol=2e-3)
+
+    # partial spans: some in-cube ray intersects the bounds over a strict
+    # subset of its 3 depth rows
+    from nerf_pytorch_paeng_tpu.eval.frame import _row_envelopes
+    bounds, valid = _support_for_eval(model, _pack_for_eval(params, cfg),
+                                      cfg)
+    assert valid
+    ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32), c2w)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    t_lo, t_hi = ray_support_interval(ro, rd, *bounds, 2.0, 6.0)
+    inside = np.asarray(segment_in_cube(ro, rd, _precull_half(cfg),
+                                        2.0, 6.0))
+    row_lo, row_hi = _row_envelopes(2.0, 6.0, 24, 8)
+    act = np.asarray((t_lo[:, None] <= row_hi[None])
+                     & (t_hi[:, None] >= row_lo[None]))
+    partial = inside & act.any(-1) & ~act.all(-1)
+    assert partial.any()
+
+
 def test_gated_precull_rays_on_mesh(trained_full_width_compact):
     """The gated-precull phase 1 (shard_map'd _coarse_body_gated, bounds
     replicated) over the 8-device mesh equals both the single-device

@@ -116,6 +116,48 @@ def test_ray_hits_bounds_is_conservative():
     assert brute.any() and (~hit).any()      # the case split is non-trivial
 
 
+def test_ray_support_interval_is_conservative():
+    """Brute-force oracle for the per-ray interval behind sample-row
+    gating: every densely-sampled segment point inside box-AND-sphere
+    must have its t inside [t_lo, t_hi] (no sample that may touch
+    support can be gated away), and with valid=False the interval is the
+    full [near, far]."""
+    from nerf_pytorch_paeng_tpu.ops.occupancy import ray_support_interval
+    rng = np.random.default_rng(7)
+    lo = jnp.asarray([-1.0, -0.5, -1.5])
+    hi = jnp.asarray([1.2, 0.8, 0.3])
+    rad = jnp.asarray([1.4])
+    c = 0.5 * (np.asarray(lo) + np.asarray(hi))
+    near, far = 2.0, 6.0
+
+    o = rng.normal(size=(512, 3)) * 3.0
+    d = rng.normal(size=(512, 3))
+    t_lo, t_hi = ray_support_interval(
+        jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+        lo, hi, rad, jnp.asarray([True]), near, far)
+    t_lo, t_hi = np.asarray(t_lo), np.asarray(t_hi)
+
+    t = np.linspace(near, far, 2048)
+    pts = o[:, None, :] + d[:, None, :] * t[None, :, None]
+    in_both = (((pts >= np.asarray(lo)) & (pts <= np.asarray(hi))).all(-1)
+               & (np.sum((pts - c) ** 2, -1) <= float(rad[0]) ** 2))
+    covered = ~in_both | ((t[None] >= t_lo[:, None] - 1e-5)
+                          & (t[None] <= t_hi[:, None] + 1e-5))
+    assert covered.all()
+    # non-trivial: some rays have a strict sub-interval, some are empty
+    hit = t_lo <= t_hi
+    assert hit.any() and (~hit).any()
+    strict = hit & ((t_lo > near + 1e-3) | (t_hi < far - 1e-3))
+    assert strict.any()
+
+    # invalid bounds certify nothing
+    t_lo0, t_hi0 = ray_support_interval(
+        jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+        lo, hi, rad, jnp.asarray([False]), near, far)
+    assert (np.asarray(t_lo0) == near).all()
+    assert (np.asarray(t_hi0) == far).all()
+
+
 def _fit_scene(cfg, H, W):
     # 1000 steps: at 500 the separately-distilled coarse/fine MLPs still
     # disagree at the blob silhouette in compact (uniform_frac) mode and

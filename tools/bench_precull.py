@@ -26,6 +26,9 @@ def _sync(x):
 
 def main():
     sys.path.insert(0, "/root/repo")
+    from nerf_pytorch_paeng_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+    enable_persistent_compile_cache()
     from bench import _train_blob_model
     from nerf_pytorch_paeng_tpu.config import NerfConfig
     from nerf_pytorch_paeng_tpu.eval.frame import (_support_for_eval,
@@ -91,8 +94,39 @@ def main():
         b = np.asarray(r_on(prm, c2w, k)[0])
         mse = float(np.mean((a - b) ** 2))
         d_db = -10 * np.log10(max(mse, 1e-12))
+
+        # replicate the gated phase-1 gate construction host-side to
+        # report the fraction of (ray-tile, sample-row) coarse MLP grid
+        # steps the row-granular gate skips (eval/frame._gated_sigma_t)
+        from nerf_pytorch_paeng_tpu.eval.frame import (_GATE_S_ROWS,
+                                                       _rays_tiling,
+                                                       _row_envelopes)
+        from nerf_pytorch_paeng_tpu.ops.occupancy import ray_support_interval
+        s = cfg.N_samples_c
+        n_rows = s // _GATE_S_ROWS
+        t_lo, t_hi = ray_support_interval(ro, rd, *bounds, cfg.near, cfg.far)
+        inside = segment_in_cube(ro, rd, _precull_half(cfg),
+                                 cfg.near, cfg.far)
+        t_lo = jnp.where(inside, t_lo, cfg.near)
+        t_hi = jnp.where(inside, t_hi, cfg.far)
+        row_lo, row_hi = _row_envelopes(cfg.near, cfg.far, s, _GATE_S_ROWS)
+        act = np.asarray((t_lo[:, None] <= row_hi[None])
+                         & (t_hi[:, None] >= row_lo[None]))
+        any_act = act.any(1)
+        first = act.argmax(1)
+        last = (n_rows - 1) - act[:, ::-1].argmax(1)
+        span = np.where(any_act, first * (n_rows + 1) + last,
+                        n_rows * (n_rows + 2))
+        order = np.argsort(span, kind="stable")
+        m = act.shape[0]
+        tile, pm = _rays_tiling(m)
+        act_s = np.zeros((pm, n_rows), bool)
+        act_s[:m] = act[order]
+        gate = act_s.reshape(pm // tile, tile, n_rows).any(1)
         print(f"{name}: valid={valid} "
               f"miss={float((~hit).mean()):.3f} "
+              f"row-steps gated {float(1 - gate.mean()):.3f} "
+              f"(per-ray rows active {float(act.mean()):.3f}) "
               f"precull-vs-cull agreement {d_db:.1f} dB", flush=True)
 
 
