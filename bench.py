@@ -160,6 +160,74 @@ def _train_blob_model(cfg, n_steps: int = 300, blob_r: float = 0.45,
     return model, params, poses, fit_loss
 
 
+def bench_train_gated(n_steps: int = 60, reps: int = 3):
+    """Occupancy-gated training throughput (cfg.train_precull) at the
+    reference workload, on the two distilled scenes: the hard-surface
+    front (the step-like opacity real 200k-iter training carves — where
+    the feature pays, measured +47% on v5e) and the soft ~30%-occupancy
+    blob (wide support intervals — measured a wash; gating recovers its
+    own overhead).  From random init the bounds are invalid and gating is
+    a no-op, so the mid-/late-training regime is what's representative.
+
+    Rays are real camera-pixel rays (gating is geometry-dependent, unlike
+    the content-independent ungated headline); support bounds are
+    measured once from the distilled params (the production driver
+    refreshes every train_precull_every steps — amortized to nothing).
+    Exactness is pinned by tests/test_train_precull.py and the on-chip
+    A/B (tools/bench_gated_train.py): loss bit-equal where the bounds
+    are exact, |delta| ~1e-5 on razor fronts (the documented sub-cell
+    grid-sampling trust, ops/occupancy.py).
+    """
+    from nerf_pytorch_paeng_tpu.config import NerfConfig
+    from nerf_pytorch_paeng_tpu.ops.rays import get_rays
+    from nerf_pytorch_paeng_tpu.train.precull import (
+        make_train_support_program, train_precull_enabled)
+    from nerf_pytorch_paeng_tpu.train.state import TrainState, make_optimizer
+    from nerf_pytorch_paeng_tpu.train.step import make_train_step
+
+    cfg = NerfConfig(near=2.0, far=6.0, train_precull=True)
+    assert train_precull_enabled(cfg)
+    tx = make_optimizer(cfg)
+    prog, _ = make_train_support_program(cfg)
+    H = W = 800
+    focal = 0.9 * W
+    K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                    jnp.float32)
+    key = jax.random.PRNGKey(2)
+
+    step_g = None
+    out = {}
+    for name, fit_kw in (("hard", dict(n_steps=1500, blob_amp=60.0,
+                                       blob_hard_w=0.08)),
+                         ("std", dict())):
+        model, params, poses, _ = _train_blob_model(cfg, **fit_kw)
+        if step_g is None:
+            step_g = jax.jit(make_train_step(model, tx, cfg, precull=True))
+        ro, rd = get_rays(H, W, K, jnp.asarray(poses[0][:3, :4]))
+        idx = jax.random.choice(jax.random.PRNGKey(0), H * W,
+                                (cfg.N_rays,), replace=False)
+        ro, rd = ro.reshape(-1, 3)[idx], rd.reshape(-1, 3)[idx]
+        rgb = jax.random.uniform(jax.random.PRNGKey(1), (cfg.N_rays, 3))
+        bc, bf = prog(params)
+        support = (tuple(bc), tuple(bf))
+        state0 = TrainState(jnp.zeros((), jnp.int32), params,
+                            jax.jit(tx.init)(params))
+        _note(f"gated train [{name}]: compiling/warming...")
+        st, m = step_g(state0, ro, rd, rgb, key, support)
+        _sync(m["loss"])
+        times = []
+        for _ in range(reps):
+            st = state0
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                st, m = step_g(st, ro, rd, rgb, key, support)
+            _sync(m["loss"])
+            times.append(time.perf_counter() - t0)
+        out[name] = min(times) / n_steps
+        _note(f"gated train [{name}]: {out[name]*1e3:.2f} ms/step")
+    return out
+
+
 def bench_render(H: int = 800, W: int = 800, block=None,
                  reps: int = 3, use_pallas: bool = True):
     from nerf_pytorch_paeng_tpu.config import NerfConfig
@@ -247,6 +315,15 @@ def main():
         }
     except Exception as e:  # never lose the train number to a render fault
         extras = {"render_800x800_sec": f"failed: {type(e).__name__}"}
+    try:
+        gated = bench_train_gated()
+        extras["train_gated_hard_ms_per_step"] = round(
+            gated["hard"] * 1e3, 2)
+        extras["train_gated_hard_rays_per_sec"] = round(
+            4096 / gated["hard"], 1)
+        extras["train_gated_std_ms_per_step"] = round(gated["std"] * 1e3, 2)
+    except Exception as e:
+        extras["train_gated_hard_ms_per_step"] = f"failed: {type(e).__name__}"
     result = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),

@@ -207,6 +207,29 @@ class NerfConfig:
     render_precull: str = "auto"
     render_precull_grid: int = 0
     render_precull_halfside: float = 0.0
+    # occupancy-gated TRAINING (train/precull.py + the gated custom-VJP
+    # kernel pair): conservative support bounds of EACH module's density
+    # field (the coarse and fine MLPs are independent networks, so each
+    # pass is gated by its own bounds), refreshed from the live params
+    # every train_precull_every steps, let the training kernels skip
+    # (ray-tile, 8-sample-row) blocks whose samples provably carry <= 0
+    # density logits.  Gradient-exact at refresh: a gated sample's
+    # contribution is identically zero in the ungated step too (relu'
+    # zeroes its density cotangent, its zero compositing weight zeroes
+    # the color cotangents), so the loss is bit-equal and grads match up
+    # to fp32 accumulation order.  Between refreshes the bounds can go
+    # stale ONLY by support growth from non-local weight updates (local
+    # gradients cannot push a <= 0 logit up through the relu) — the
+    # refresh re-measures the live field, same grid trust as
+    # render_precull.  Off by default: the reference-parity trajectory
+    # guarantees quote the ungated step.  blender scenes + the ray-major
+    # kernel path only; everything else ignores the flag.
+    train_precull: bool = False
+    train_precull_every: int = 256
+    # gated-kernel ray-tile size (0 = auto): smaller than the ungated
+    # pair's 2048 so the span-sorted miss rays fill whole gateable tiles
+    # even at N_rays=4096 (measured sweep in docs/STATUS_ROUND3.md)
+    train_precull_tile: int = 0
     # sample-axis (SP/context-parallel analog) sharding for full-frame
     # rendering: split each ray's sample axis over the mesh 'model' axis
     # with the distributed log-space transmittance scan (parallel/sp.py).
@@ -254,6 +277,7 @@ class NerfConfig:
             "y", "n", "0", "1"), self.render_precull
         assert self.N_samples_c > 0
         assert self.iter_warmup < self.iter_N + 1
+        assert self.train_precull_tile % 128 == 0, self.train_precull_tile
         return self
 
 

@@ -124,6 +124,28 @@ def main_worker(cfg: NerfConfig) -> None:
     bs = batch_sharding(mesh)
     import functools
 
+    # occupancy-gated training (cfg.train_precull; train/precull.py):
+    # per-module support bounds, refreshed from the live params every
+    # train_precull_every iters, gate the training kernels' work
+    from .train.precull import (make_train_support_program,
+                                train_precull_active)
+    precull_on = bool(cfg.train_precull) and train_precull_active(cfg, mesh)
+    if cfg.train_precull and not precull_on:
+        print(">> train_precull requested but inapplicable here "
+              "(needs blender data, the ray-major kernel path, a usable "
+              "support grid, and a data-only mesh dividing N_rays) — "
+              "running ungated")
+    support = None
+    if precull_on:
+        support_prog, _ = make_train_support_program(cfg)
+
+        def refresh_support(params):
+            bc, bf = support_prog(params)
+            return commit_replicated((tuple(bc), tuple(bf)), mesh)
+
+        print(f">> train_precull on (refresh every "
+              f"{cfg.train_precull_every} iters)")
+
     if cfg.global_batch:
         print(">> [global batch] building the all-image ray pool")
         key, sub = jax.random.split(key)
@@ -131,39 +153,47 @@ def main_worker(cfg: NerfConfig) -> None:
             build_ray_pool(images, K, extrinsics, i_train, sub), mesh)
         ray_pool = RayPool(pool, jax.random.fold_in(key, 17))
         step_raw = make_train_step_for_mesh(
-            model, tx, cfg, mesh, H, W, float(K[0][0]))
+            model, tx, cfg, mesh, H, W, float(K[0][0]), precull=precull_on)
 
         # slice the batch from the device-resident pool INSIDE the jitted
         # step: eager slicing + device_put cost ~10 tunnel dispatches
         # (~20 ms each) per step on the remote backend
-        def _slice_step(state, pool, start, key):
+        def _slice_step(state, pool, start, key, support=None):
             batch = jax.lax.dynamic_slice_in_dim(pool, start, cfg.N_rays, 0)
             o = jax.lax.with_sharding_constraint(batch[:, 0, :], bs)
             d = jax.lax.with_sharding_constraint(batch[:, 1, :], bs)
             rgb = jax.lax.with_sharding_constraint(batch[:, 2, :], bs)
+            if precull_on:
+                return step_raw(state, o, d, rgb, key, support)
             return step_raw(state, o, d, rgb, key)
 
         step_fn = jax.jit(_slice_step, donate_argnums=(0,))
 
         # scan_chunk steps in ONE dispatch: the per-step key is
         # fold_in(key, state.step), so the scanned chunk replays exactly
-        # the single-step trajectory
+        # the single-step trajectory (support is constant across a chunk —
+        # bounds refresh only lands between chunks)
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def chunk_fn(state, pool, starts, key):
+        def chunk_fn(state, pool, starts, key, support=None):
             return jax.lax.scan(
-                lambda st, s: _slice_step(st, pool, s, key), state, starts)
+                lambda st, s: _slice_step(st, pool, s, key, support),
+                state, starts)
     else:
         print(">> per-image sampling mode (sharded over the mesh)")
         ray_pool = None
         step_raw = make_image_train_step_for_mesh(model, tx, cfg, mesh,
-                                                  H, W, K)
+                                                  H, W, K,
+                                                  precull=precull_on)
         images_dev = commit_replicated(jnp.asarray(images), mesh)
         poses_dev = commit_replicated(
             jnp.asarray(extrinsics)[:, :3, :4], mesh)
 
         # index the image/pose INSIDE the jitted step: eager slicing costs
         # two ~20 ms tunnel dispatches per step on the remote backend
-        def _image_step(state, i_img, key, precrop):
+        def _image_step(state, i_img, key, precrop, support=None):
+            if precull_on:
+                return step_raw(state, images_dev[i_img], poses_dev[i_img],
+                                key, support, precrop=precrop)
             return step_raw(state, images_dev[i_img], poses_dev[i_img],
                             key, precrop=precrop)
 
@@ -172,9 +202,9 @@ def main_worker(cfg: NerfConfig) -> None:
 
         @functools.partial(jax.jit, static_argnames=("precrop",),
                            donate_argnums=(0,))
-        def chunk_fn(state, i_imgs, key, precrop=False):
+        def chunk_fn(state, i_imgs, key, precrop=False, support=None):
             return jax.lax.scan(
-                lambda st, ii: _image_step(st, ii, key, precrop),
+                lambda st, ii: _image_step(st, ii, key, precrop, support),
                 state, i_imgs)
 
     # ---- 5. observability ------------------------------------------------
@@ -245,7 +275,11 @@ def main_worker(cfg: NerfConfig) -> None:
 
     pbar = trange(cfg.iter_start + 1, cfg.iter_N + 1)
     i = cfg.iter_start + 1
+    next_refresh = i  # first train_precull bounds measure before step 1
     while i <= cfg.iter_N:
+        if precull_on and i >= next_refresh:
+            support = refresh_support(state.params)
+            next_refresh = i + max(int(cfg.train_precull_every), 1)
         if cfg.profile and i == cfg.iter_start + 10:
             try:  # trace a few steady-state steps (SURVEY §5 observability)
                 jax.profiler.start_trace(profile_dir)
@@ -265,14 +299,14 @@ def main_worker(cfg: NerfConfig) -> None:
                     [ray_pool.next_start(cfg.N_rays) for _ in range(chunk)],
                     jnp.int32)
                 state, mstack = chunk_fn(state, ray_pool.pool, starts,
-                                         step_key)
+                                         step_key, support=support)
             else:
                 i_imgs = jnp.asarray(
                     [int(rng.choice(i_train)) for _ in range(chunk)],
                     jnp.int32)
                 state, mstack = chunk_fn(
                     state, i_imgs, step_key,
-                    precrop=bool(i < cfg.precrop_iters))
+                    precrop=bool(i < cfg.precrop_iters), support=support)
             # idx_vis/idx_print 0 = off, like the idx_save/test/render knobs
             log_js = [j for j in range(chunk)
                       if (cfg.idx_vis and (i + j) % cfg.idx_vis == 0)
@@ -285,12 +319,12 @@ def main_worker(cfg: NerfConfig) -> None:
             if cfg.global_batch:
                 start = ray_pool.next_start(cfg.N_rays)
                 state, metrics = step_fn(state, ray_pool.pool, start,
-                                         step_key)
+                                         step_key, support=support)
             else:
                 i_img = int(rng.choice(i_train))
                 state, metrics = step_fn(
                     state, i_img, step_key,
-                    precrop=bool(i < cfg.precrop_iters))
+                    precrop=bool(i < cfg.precrop_iters), support=support)
             if (cfg.idx_vis and i % cfg.idx_vis == 0) or (
                     cfg.idx_print and i % cfg.idx_print == 0):
                 _log_step(i, metrics)

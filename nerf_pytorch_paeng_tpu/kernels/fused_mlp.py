@@ -403,11 +403,8 @@ def fused_mlp_sigma_rays(od: jnp.ndarray, z_t: jnp.ndarray,
             gate.astype(jnp.int32), od, z_t, *weights)
 
 
-def _eval_rays_kernel(L_x: int, L_d: int, s_rows: int, cdt, out_dtype,
-                      od_ref, z_ref, *refs):
-    w = dict(zip(_W_NAMES, refs[:-4]))
-    r_ref, g_ref, b_ref, s_ref = refs[-4:]
-
+def _eval_rays_body(L_x: int, L_d: int, s_rows: int, cdt, out_dtype,
+                    w, od_ref, z_ref, r_ref, g_ref, b_ref, s_ref):
     def dot(a, h):
         return jax.lax.dot_general(
             a[:].astype(cdt), h.astype(cdt), (((1,), (0,)), ((), ())),
@@ -446,11 +443,45 @@ def _eval_rays_kernel(L_x: int, L_d: int, s_rows: int, cdt, out_dtype,
     s_ref[:] = jnp.concatenate(rows_s, axis=0).astype(out_dtype)
 
 
+def _eval_rays_kernel(L_x: int, L_d: int, s_rows: int, cdt, out_dtype,
+                      od_ref, z_ref, *refs):
+    w = dict(zip(_W_NAMES, refs[:-4]))
+    _eval_rays_body(L_x, L_d, s_rows, cdt, out_dtype, w, od_ref, z_ref,
+                    *refs[-4:])
+
+
+def _eval_rays_kernel_gated(L_x: int, L_d: int, s_rows: int, cdt, out_dtype,
+                            gate_ref, od_ref, z_ref, *refs):
+    """Gated full-field variant (see _sigma_rays_kernel_gated): grid steps
+    whose gate flag is 0 skip the MLP and store zeros to all four outputs.
+    The caller certifies every sample of a gated-off (ray-tile, sample-row)
+    block lies outside the module's density support, so the stored zero
+    sigma yields exactly the zero compositing weights the real (<= 0
+    logit) evaluation would, and the zero rgb logits are masked by those
+    zero weights — used by the occupancy-gated *training* path
+    (ops/render.render_rays_train with support bounds)."""
+    w = dict(zip(_W_NAMES, refs[:-4]))
+    out_refs = refs[-4:]
+    active = gate_ref[pl.program_id(0) * pl.num_programs(1)
+                      + pl.program_id(1)] != 0
+
+    @pl.when(active)
+    def _():
+        _eval_rays_body(L_x, L_d, s_rows, cdt, out_dtype, w, od_ref, z_ref,
+                        *out_refs)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        for ref in out_refs:
+            ref[:] = jnp.zeros(ref.shape, out_dtype)
+
+
 def fused_mlp_eval_rays(od: jnp.ndarray, z_t: jnp.ndarray,
                         packed: Dict[str, jnp.ndarray], L_x: int = 10,
                         L_d: int = 4, tile_rays: int = 8192,
                         s_rows: int = 8, interpret: bool = False,
-                        out_dtype=jnp.float32):
+                        out_dtype=jnp.float32,
+                        gate: jnp.ndarray | None = None):
     """Full radiance field along rays with positions built in-kernel (see
     fused_mlp_sigma_rays).  View directions are normalised in-kernel and
     their embedding + view-branch matmul are computed once per ray tile
@@ -460,6 +491,10 @@ def fused_mlp_eval_rays(od: jnp.ndarray, z_t: jnp.ndarray,
       od:  [8, N] float32 rays — rows 0-2 origin, 3-5 (unnormalised)
            direction, 6-7 padding.  N % tile_rays == 0.
       z_t: [S, N] float32 per-sample depths (S % s_rows == 0).
+      gate: optional int32 [(N // tile_rays) * (S // s_rows)] per-
+           (ray-tile, sample-row) flags, row-major in (tile, row) —
+           gated-off grid steps skip the MLP and store zeros to all four
+           outputs (see _eval_rays_kernel_gated / fused_mlp_sigma_rays).
     Returns:
       (r, g, b, sigma): four [S, N] raw-logit arrays (out_dtype).
     """
@@ -468,30 +503,8 @@ def fused_mlp_eval_rays(od: jnp.ndarray, z_t: jnp.ndarray,
     assert n % tile_rays == 0, (n, tile_rays)
     assert s % s_rows == 0, (s, s_rows)
 
-    weight_specs = [
-        pl.BlockSpec(packed[name].shape, lambda i, j: (0, 0),
-                     memory_space=pltpu.VMEM)
-        for name in _W_NAMES
-    ]
-    out_spec = pl.BlockSpec((s_rows, tile_rays), lambda i, j: (j, i),
-                            memory_space=pltpu.VMEM)
-    grid_spec = pl.GridSpec(
-        grid=(n // tile_rays, s // s_rows),
-        in_specs=[
-            pl.BlockSpec((8, tile_rays), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_rows, tile_rays), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            *weight_specs,
-        ],
-        out_specs=[out_spec] * 4,
-    )
-    cdt = jnp.float32 if interpret else jnp.bfloat16
     out_shape = [jax.ShapeDtypeStruct((s, n), out_dtype)] * 4
-    return pl.pallas_call(
-        functools.partial(_eval_rays_kernel, L_x, L_d, s_rows, cdt,
-                          out_dtype),
-        grid_spec=grid_spec,
+    kwargs = dict(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -501,7 +514,61 @@ def fused_mlp_eval_rays(od: jnp.ndarray, z_t: jnp.ndarray,
             bytes_accessed=(8 + s) * 4 * n + 4 * s * n * 4,
             transcendentals=6 * n * s),
         interpret=interpret,
-    )(od, z_t, *[packed[name] for name in _W_NAMES])
+    )
+    grid = (n // tile_rays, s // s_rows)
+    cdt = jnp.float32 if interpret else jnp.bfloat16
+    weights = [packed[name] for name in _W_NAMES]
+
+    if gate is None:
+        weight_specs = [
+            pl.BlockSpec(packed[name].shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for name in _W_NAMES
+        ]
+        out_spec = pl.BlockSpec((s_rows, tile_rays), lambda i, j: (j, i),
+                                memory_space=pltpu.VMEM)
+        grid_spec = pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, tile_rays), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s_rows, tile_rays), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                *weight_specs,
+            ],
+            out_specs=[out_spec] * 4,
+        )
+        return pl.pallas_call(
+            functools.partial(_eval_rays_kernel, L_x, L_d, s_rows, cdt,
+                              out_dtype),
+            grid_spec=grid_spec, **kwargs)(od, z_t, *weights)
+
+    assert gate.shape == ((n // tile_rays) * (s // s_rows),), (
+        gate.shape, n, tile_rays, s, s_rows)
+    weight_specs = [
+        pl.BlockSpec(packed[name].shape, lambda i, j, g: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for name in _W_NAMES
+    ]
+    out_spec = pl.BlockSpec((s_rows, tile_rays), lambda i, j, g: (j, i),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, tile_rays), lambda i, j, g: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_rows, tile_rays), lambda i, j, g: (j, i),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=[out_spec] * 4,
+    )
+    return pl.pallas_call(
+        functools.partial(_eval_rays_kernel_gated, L_x, L_d, s_rows, cdt,
+                          out_dtype),
+        grid_spec=grid_spec, **kwargs)(
+            gate.astype(jnp.int32), od, z_t, *weights)
 
 
 # --------------------------------------------------------------------------

@@ -220,6 +220,34 @@ def fused_mlp_train(packed: Dict, xplane: jnp.ndarray, dplane: jnp.ndarray,
 # matching residual-free backward that recomputes per (ray-tile,
 # sample-row) and accumulates weight grads across the 2D grid.
 
+def _bwd_rays_body(L_x: int, L_d: int, bf, sel,
+                   od_ref, z_ref, gr_ref, gg_ref, gb_ref, gs_ref,
+                   w_refs, gr_out):
+    w = {n: (w_refs[n][:].astype(bf) if n.startswith("w")
+             else w_refs[n][:]) for n in _W_NAMES}
+
+    o = od_ref[0:3, :].astype(jnp.float32)               # [3, Tr]
+    d = od_ref[3:6, :].astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.sum(d * d, axis=0, keepdims=True))
+    embd = _build_emb(d * inv, L_d, EMBD_ROWS, bf)
+    hv_dir = _dot(w["wvd"], embd) + w["bv"]              # [128, Tr] fp32
+
+    def row(ref):                                        # [8,Tr] -> [1,Tr]
+        return jnp.sum(jnp.where(sel, ref[:].astype(jnp.float32), 0.0),
+                       axis=0, keepdims=True)
+
+    t = o.shape[-1]
+    x = o + d * row(z_ref)
+    embx = _build_emb(x, L_x, EMBX_ROWS, bf)
+    g_rgb = jnp.concatenate(
+        [row(gr_ref), row(gg_ref), row(gb_ref),
+         jnp.zeros((5, t), jnp.float32)], 0).astype(bf)          # [8, T]
+    g_sig = jnp.concatenate(
+        [row(gs_ref), jnp.zeros((7, t), jnp.float32)],
+        0).astype(bf)                                            # [8, T]
+    _recompute_and_backprop(w, embx, embd, hv_dir, g_rgb, g_sig, gr_out, bf)
+
+
 def _bwd_rays_kernel(L_x: int, L_d: int, cdt,
                      od_ref, z_ref, gr_ref, gg_ref, gb_ref, gs_ref, *refs):
     """One SAMPLE ROW of the ray-major backward per grid step (grid =
@@ -240,69 +268,100 @@ def _bwd_rays_kernel(L_x: int, L_d: int, cdt,
         for name in _W_NAMES:
             gr_out[name][:] = jnp.zeros_like(gr_out[name])
 
-    bf = cdt
-    w = {n: (w_refs[n][:].astype(bf) if n.startswith("w")
-             else w_refs[n][:]) for n in _W_NAMES}
+    k = pl.program_id(1) % 8
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == k)
+    _bwd_rays_body(L_x, L_d, cdt, sel, od_ref, z_ref, gr_ref, gg_ref,
+                   gb_ref, gs_ref, w_refs, gr_out)
 
-    o = od_ref[0:3, :].astype(jnp.float32)               # [3, Tr]
-    d = od_ref[3:6, :].astype(jnp.float32)
-    inv = jax.lax.rsqrt(jnp.sum(d * d, axis=0, keepdims=True))
-    embd = _build_emb(d * inv, L_d, EMBD_ROWS, bf)
-    hv_dir = _dot(w["wvd"], embd) + w["bv"]              # [128, Tr] fp32
 
+def _bwd_rays_kernel_gated(L_x: int, L_d: int, cdt, gate_ref,
+                           od_ref, z_ref, gr_ref, gg_ref, gb_ref, gs_ref,
+                           *refs):
+    """Gated ray-major backward: grid steps whose (ray-tile, 8-sample-row)
+    gate flag is 0 skip the recompute+backprop entirely.  Sound because
+    the caller certifies every gated-off sample lies outside the module's
+    density support: its real logit is <= 0, so relu' zeroes its sigma
+    cotangent and its zero compositing weight zeroes the rgb cotangents —
+    the skipped accumulation contributions are exactly zero in the
+    ungated backward too (ops/render.render_rays_train notes)."""
+    w_refs = dict(zip(_W_NAMES, refs[: len(_W_NAMES)]))
+    gr_out = dict(zip(_W_NAMES, refs[len(_W_NAMES):]))
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _init():
+        for name in _W_NAMES:
+            gr_out[name][:] = jnp.zeros_like(gr_out[name])
+
+    active = gate_ref[pl.program_id(0) * (pl.num_programs(1) // 8)
+                      + pl.program_id(1) // 8] != 0
+    # program_id is hoisted out of the pl.when region: the CPU (HLO
+    # interpreter) lowering of a when-body has no program_id rule
     k = pl.program_id(1) % 8
     sel = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == k)
 
-    def row(ref):                                        # [8,Tr] -> [1,Tr]
-        return jnp.sum(jnp.where(sel, ref[:].astype(jnp.float32), 0.0),
-                       axis=0, keepdims=True)
-
-    t = o.shape[-1]
-    x = o + d * row(z_ref)
-    embx = _build_emb(x, L_x, EMBX_ROWS, bf)
-    g_rgb = jnp.concatenate(
-        [row(gr_ref), row(gg_ref), row(gb_ref),
-         jnp.zeros((5, t), jnp.float32)], 0).astype(bf)          # [8, T]
-    g_sig = jnp.concatenate(
-        [row(gs_ref), jnp.zeros((7, t), jnp.float32)],
-        0).astype(bf)                                            # [8, T]
-    _recompute_and_backprop(w, embx, embd, hv_dir, g_rgb, g_sig, gr_out, bf)
+    @pl.when(active)
+    def _():
+        _bwd_rays_body(L_x, L_d, cdt, sel, od_ref, z_ref, gr_ref, gg_ref,
+                       gb_ref, gs_ref, w_refs, gr_out)
 
 
 def _bwd_rays_call(od, z_t, gr, gg, gb, gs, packed: Dict, L_x: int,
                    L_d: int, tile_rays: int,
-                   interpret: bool = False) -> Dict:
+                   interpret: bool = False, gate=None) -> Dict:
     s, n = z_t.shape
     assert n % tile_rays == 0, (n, tile_rays)
-
-    const = lambda shape: pl.BlockSpec(
-        shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     assert s % 8 == 0, s
-    sblk = pl.BlockSpec((8, tile_rays), lambda i, j: (j // 8, i),
+    cdt = jnp.float32 if interpret else jnp.bfloat16
+    out_specs_shapes = dict(
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(packed[nme].shape, jnp.float32)
+            for nme in _W_NAMES),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+    f32 = jnp.float32
+    args = (od, z_t, gr.astype(f32), gg.astype(f32), gb.astype(f32),
+            gs.astype(f32), *[packed[nme] for nme in _W_NAMES])
+
+    if gate is None:
+        const = lambda shape: pl.BlockSpec(
+            shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        sblk = pl.BlockSpec((8, tile_rays), lambda i, j: (j // 8, i),
+                            memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((8, tile_rays), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            sblk, sblk, sblk, sblk, sblk,
+            *[const(packed[nme].shape) for nme in _W_NAMES],
+        ]
+        out_specs = tuple(const(packed[nme].shape) for nme in _W_NAMES)
+        grads = pl.pallas_call(
+            functools.partial(_bwd_rays_kernel, L_x, L_d, cdt),
+            grid_spec=pl.GridSpec(grid=(n // tile_rays, s),
+                                  in_specs=in_specs, out_specs=out_specs),
+            **out_specs_shapes)(*args)
+        return dict(zip(_W_NAMES, grads))
+
+    assert gate.shape == ((n // tile_rays) * (s // 8),), (
+        gate.shape, n, tile_rays, s)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i, j, g: (0, 0), memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec((8, tile_rays), lambda i, j, g: (j // 8, i),
                         memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((8, tile_rays), lambda i, j: (0, i),
+        pl.BlockSpec((8, tile_rays), lambda i, j, g: (0, i),
                      memory_space=pltpu.VMEM),
         sblk, sblk, sblk, sblk, sblk,
         *[const(packed[nme].shape) for nme in _W_NAMES],
     ]
     out_specs = tuple(const(packed[nme].shape) for nme in _W_NAMES)
-    out_shape = tuple(
-        jax.ShapeDtypeStruct(packed[nme].shape, jnp.float32)
-        for nme in _W_NAMES)
-
-    f32 = jnp.float32
     grads = pl.pallas_call(
-        functools.partial(_bwd_rays_kernel, L_x, L_d,
-                          jnp.float32 if interpret else jnp.bfloat16),
-        grid_spec=pl.GridSpec(grid=(n // tile_rays, s),
-                              in_specs=in_specs, out_specs=out_specs),
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-        interpret=interpret,
-    )(od, z_t, gr.astype(f32), gg.astype(f32), gb.astype(f32),
-      gs.astype(f32), *[packed[nme] for nme in _W_NAMES])
+        functools.partial(_bwd_rays_kernel_gated, L_x, L_d, cdt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(n // tile_rays, s),
+            in_specs=in_specs, out_specs=out_specs),
+        **out_specs_shapes)(gate.astype(jnp.int32), *args)
     return dict(zip(_W_NAMES, grads))
 
 
@@ -337,9 +396,63 @@ def _make_fused_train_rays(L_x: int, L_d: int, tile_rays: int, s_rows: int,
 
 def fused_mlp_train_rays(packed: Dict, od: jnp.ndarray, z_t: jnp.ndarray,
                          L_x: int = 10, L_d: int = 4, tile_rays: int = 1024,
-                         s_rows: int = 8, interpret: bool = False):
+                         s_rows: int = 8, interpret: bool = False,
+                         gate: jnp.ndarray | None = None):
     """Differentiable ray-major fused MLP: [8,N] rays + [S,N] depths ->
     (r, g, b, sigma) each [S, N], with the Pallas backward above.
-    N % tile_rays == 0 and S % s_rows == 0."""
-    return _make_fused_train_rays(L_x, L_d, tile_rays, s_rows, interpret)(
-        packed, od, z_t)
+    N % tile_rays == 0 and S % s_rows == 0.
+
+    ``gate`` (int32 [(N // tile_rays) * (S // 8)], row-major in (ray-tile,
+    8-sample-row)) engages the occupancy-gated kernel pair: gated-off
+    blocks skip the MLP in the forward (zeros stored) AND the
+    recompute+backprop in the backward — exact when every gated sample is
+    provably outside the module's density support (both contributions are
+    identically zero in the ungated pair; see _bwd_rays_kernel_gated).
+    Requires s_rows == 8 (the canonical gate granularity).  The gate is a
+    regular custom_vjp argument with a float0 cotangent, so it may be a
+    traced value (the training step computes it in-trace from the
+    support intervals).
+    """
+    if gate is None:
+        return _make_fused_train_rays(L_x, L_d, tile_rays, s_rows,
+                                      interpret)(packed, od, z_t)
+    # the gated pair runs both directions at the canonical 8-row gate
+    # granularity: a 16-row forward with pair-OR'd gates was measured
+    # SLOWER end-to-end on v5e (the halved forward gating costs more than
+    # the 16-row unroll gains — tools/bench_gated_train.py)
+    assert s_rows == 8, s_rows
+    return _make_fused_train_rays_gated(L_x, L_d, tile_rays, interpret)(
+        packed, od, z_t, gate.astype(jnp.int32))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_train_rays_gated(L_x: int, L_d: int, tile_rays: int,
+                                 interpret: bool):
+    import numpy as np
+
+    from .fused_mlp import fused_mlp_eval_rays
+
+    @jax.custom_vjp
+    def f(packed, od, z_t, gate):
+        return fused_mlp_eval_rays(od, z_t, packed, L_x=L_x, L_d=L_d,
+                                   tile_rays=tile_rays, s_rows=8,
+                                   interpret=interpret, gate=gate)
+
+    def fwd(packed, od, z_t, gate):
+        return f(packed, od, z_t, gate), (packed, od, z_t, gate)
+
+    def bwd(res, gout):
+        packed, od, z_t, gate = res
+        gr, gg, gb, gs = gout
+        dpacked = _bwd_rays_call(od, z_t, gr, gg, gb, gs, packed, L_x, L_d,
+                                 tile_rays, interpret, gate=gate)
+        dpacked = {nme: dpacked[nme].astype(packed[nme].dtype)
+                   for nme in _W_NAMES}
+        # the int32 gate takes a float0 cotangent (JAX's tangent type for
+        # integer primals); od/z_t grads are dead code like the ungated
+        # pair's (module docstring)
+        dgate = np.zeros(gate.shape, jax.dtypes.float0)
+        return (dpacked, jnp.zeros_like(od), jnp.zeros_like(z_t), dgate)
+
+    f.defvjp(fwd, bwd)
+    return f

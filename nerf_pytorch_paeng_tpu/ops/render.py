@@ -164,7 +164,76 @@ def supports_train_rays_kernels(cfg, n_rays: int) -> bool:
             and _train_rays_tile(n_rays) is not None)
 
 
-def render_rays_train(params, rays_o, rays_d, key, cfg) -> "RaysRender":
+def train_support_intervals(rays_o, rays_d, bounds, half: float,
+                            near: float, far: float):
+    """Per-ray conservative support interval for one MLP module's bounds
+    (``bounds`` = (lo, hi, radius, valid) from
+    ops/occupancy.support_bounds_from_sigma), with the two eval-path
+    safety rails applied: rays whose [near, far] segment leaves the
+    estimation cube get the full interval (the grid certifies nothing out
+    there), and invalid bounds widen every ray to [near, far] (inside
+    ray_support_interval).  Returns (t_lo [N], t_hi [N])."""
+    from .occupancy import ray_support_interval, segment_in_cube
+    t_lo, t_hi = ray_support_interval(rays_o, rays_d, *bounds, near, far)
+    inside = segment_in_cube(rays_o, rays_d, half, near, far)
+    return (jnp.where(inside, t_lo, near), jnp.where(inside, t_hi, far))
+
+
+def _gated_train_pass(packed, od, z_t, t_lo, t_hi, tile, cfg, interpret):
+    """One occupancy-gated training MLP pass (fwd + custom-VJP bwd).
+
+    Every sample with depth outside the module's conservative support
+    interval [t_lo, t_hi] provably has a <= 0 density logit, so (a) the
+    forward may store zeros for it (identical zero compositing weights)
+    and (b) its backward contribution is identically zero (relu' kills
+    the sigma cotangent, the zero weight kills the rgb cotangents) — the
+    gated kernels skip whole (ray-tile, 8-sample-row) grid steps where
+    every sample qualifies.  Rays are sorted by their active-row span so
+    tiles share spans (the eval pre-cull's trick, eval/frame._gated_sigma_t)
+    and the outputs are unsorted back, so everything outside the kernels —
+    RNG assignment, composites, loss reductions — runs in the original
+    ray order: the forward is bit-equal to the ungated pass, gradients
+    equal up to fp32 accumulation order (tile membership changes the
+    kernel's grad-sum order).
+
+    z_t [S, N] (S % 8 == 0); od [8, N]; t_lo/t_hi [N].
+    """
+    from ..kernels.fused_mlp_vjp import fused_mlp_train_rays
+
+    s, n = z_t.shape
+    # smaller ray-tiles than the ungated pair's 2048: gating is per
+    # (tile, row) and a 4096-ray batch needs enough tiles for the sorted
+    # miss rays to fill whole tiles (eval's 640k-ray frames get this for
+    # free); cfg.train_precull_tile overrides (0 = auto)
+    gt = int(getattr(cfg, "train_precull_tile", 0))
+    tile = gt or min(tile, 512)
+    while tile > 128 and n % tile:
+        tile //= 2
+    assert n % tile == 0 and tile % 128 == 0 and s % 8 == 0, (s, n, tile)
+    n_rows = s // 8
+    zs = jax.lax.stop_gradient(z_t)
+    act = (zs >= t_lo[None]) & (zs <= t_hi[None])             # [S, N]
+    act_r = act.reshape(n_rows, 8, n).any(1)                  # [R, N]
+    # sort rays by (first, last) active row; span-empty rays (provable
+    # misses — every sample outside support) sort last and gate whole rows
+    any_act = act_r.any(0)
+    first = jnp.argmax(act_r, 0)
+    last = (n_rows - 1) - jnp.argmax(act_r[::-1], 0)
+    span_key = jnp.where(any_act, first * (n_rows + 1) + last,
+                         n_rows * (n_rows + 2))
+    order = jnp.argsort(span_key)                             # stable
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    gate = act_r[:, order].reshape(n_rows, n // tile, tile).any(-1)
+    gate = gate.T.reshape(-1).astype(jnp.int32)               # [(tiles)*R]
+    r, g, b, sg = fused_mlp_train_rays(
+        packed, od[:, order], z_t[:, order], L_x=cfg.L_x, L_d=cfg.L_d,
+        tile_rays=tile, s_rows=8, interpret=interpret, gate=gate)
+    return r[:, inv], g[:, inv], b[:, inv], sg[:, inv]
+
+
+def render_rays_train(params, rays_o, rays_d, key, cfg,
+                      support=None) -> "RaysRender":
     """Training render on the ray-major custom-VJP kernel pair: positions
     built in-kernel from [8,N] rays + [S,N] depths (no [3,P] plane buffers
     anywhere), transposed composites, residual-free Pallas backward.
@@ -173,6 +242,13 @@ def render_rays_train(params, rays_o, rays_d, key, cfg) -> "RaysRender":
     train kernels (reference nerf_process.py:185-213 semantics: full
     coarse for loss_c, detached hierarchical fine resample, merged fine
     pass); gradient parity is tested in tests/test_kernels_vjp.py.
+
+    ``support`` (cfg.train_precull; train/precull.py) = ((lo, hi, radius,
+    valid) coarse bounds, same for the fine module, half_side): each
+    pass's MLP work is occupancy-gated to its OWN module's conservative
+    support interval (_gated_train_pass — the two modules are independent
+    networks, so the coarse bounds certify nothing about the fine field).
+    Forward/loss bit-equal to ungated; grads equal up to fp32 sum order.
     """
     from ..kernels.fused_mlp import pack_nerf_mlp_params
     from ..kernels.fused_mlp_vjp import fused_mlp_train_rays
@@ -190,16 +266,29 @@ def render_rays_train(params, rays_o, rays_d, key, cfg) -> "RaysRender":
     od = jnp.concatenate(
         [rays_o.T, rays_d.T, jnp.zeros((2, n), rays_o.dtype)], 0)
 
+    near, far = float(cfg.near), float(cfg.far)
+    if support is not None:
+        bounds_c, bounds_f, half = support
+        iv_c = train_support_intervals(rays_o, rays_d, bounds_c, half,
+                                       near, far)
+        iv_f = train_support_intervals(rays_o, rays_d, bounds_f, half,
+                                       near, far)
+
     # forward sample-row unroll: 16 measured faster than 8 on v5e for the
     # training forward (tools/bench_train_kernels.py: 6.09 vs 6.39 ms at
-    # 192x4096); the backward keeps its one-row body (8-row blocks)
+    # 192x4096); the backward keeps its one-row body (8-row blocks).  The
+    # gated path pins s_rows=8 — the canonical gate granularity.
     s_rows = lambda s: 16 if s % 16 == 0 else 8
-    z_vals = stratified_z_vals(key_c, n, float(cfg.near), float(cfg.far),
+    z_vals = stratified_z_vals(key_c, n, near, far,
                                cfg.N_samples_c, perturb=True)
-    r, g, b, sg = fused_mlp_train_rays(packed_c, od, z_vals.T,
-                                       L_x=cfg.L_x, L_d=cfg.L_d,
-                                       tile_rays=tile, interpret=interpret,
-                                       s_rows=s_rows(cfg.N_samples_c))
+    if support is not None:
+        r, g, b, sg = _gated_train_pass(packed_c, od, z_vals.T, *iv_c,
+                                        tile, cfg, interpret)
+    else:
+        r, g, b, sg = fused_mlp_train_rays(
+            packed_c, od, z_vals.T, L_x=cfg.L_x, L_d=cfg.L_d,
+            tile_rays=tile, interpret=interpret,
+            s_rows=s_rows(cfg.N_samples_c))
     out_c = volume_render_rays_t(r, g, b, sg, z_vals.T, rays_d)
     if cfg.N_samples_f <= 0:
         return RaysRender(out_c.rgb, out_c.disp, None, None, None, None)
@@ -209,10 +298,13 @@ def render_rays_train(params, rays_o, rays_d, key, cfg) -> "RaysRender":
                                 perturb=float(cfg.perturb))
     z_t = jax.lax.stop_gradient(z_all.T)
     s_merged = cfg.N_samples_c + cfg.N_samples_f
-    r, g, b, sg = fused_mlp_train_rays(packed_f, od, z_t,
-                                       L_x=cfg.L_x, L_d=cfg.L_d,
-                                       tile_rays=tile, interpret=interpret,
-                                       s_rows=s_rows(s_merged))
+    if support is not None:
+        r, g, b, sg = _gated_train_pass(packed_f, od, z_t, *iv_f,
+                                        tile, cfg, interpret)
+    else:
+        r, g, b, sg = fused_mlp_train_rays(
+            packed_f, od, z_t, L_x=cfg.L_x, L_d=cfg.L_d,
+            tile_rays=tile, interpret=interpret, s_rows=s_rows(s_merged))
     out_f = volume_render_rays_t(r, g, b, sg, z_t, rays_d)
     return RaysRender(out_c.rgb, out_c.disp, out_f.rgb, out_f.disp,
                       out_f.acc, out_f.depth)

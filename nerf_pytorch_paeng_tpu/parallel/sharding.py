@@ -136,7 +136,7 @@ def make_sharded_train_step(train_step, mesh: Mesh):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_shardmap_train_step(axis_step, mesh: Mesh):
+def make_shardmap_train_step(axis_step, mesh: Mesh, precull: bool = False):
     """Explicit-collective DP: shard_map the step over the 'data' axis.
 
     ``axis_step`` must be built with ``make_train_step(...,
@@ -145,11 +145,18 @@ def make_shardmap_train_step(axis_step, mesh: Mesh):
     GSPMD; under shard_map each shard runs the kernel on its own rays).
     Per-shard jitter keys are decorrelated via axis_index, so the random
     stream differs from (but is statistically identical to) single-device.
+
+    With ``precull`` the step carries a trailing replicated ``support``
+    pytree (per-module bounds, train/precull.py) — each shard gates its
+    own ray slice against the same bounds.
     """
     state_spec = P()  # replicated pytree prefix
+    in_specs = (state_spec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P())
+    if precull:
+        in_specs = in_specs + (P(),)
     step = jax.shard_map(
         axis_step, mesh=mesh,
-        in_specs=(state_spec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        in_specs=in_specs,
         out_specs=(state_spec, state_spec),
         check_vma=False,
     )
@@ -157,9 +164,15 @@ def make_shardmap_train_step(axis_step, mesh: Mesh):
 
 
 def make_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
-                             H: int = 0, W: int = 0, focal: float = 0.0):
+                             H: int = 0, W: int = 0, focal: float = 0.0,
+                             precull: bool = False):
     """Pick the right distributed train step for this config/mesh:
-    shard_map DP for the Pallas kernels; GSPMD otherwise (incl. TP)."""
+    shard_map DP for the Pallas kernels; GSPMD otherwise (incl. TP).
+
+    ``precull`` (cfg.train_precull) applies only where the gated kernels
+    run — the shard_map/single-device Pallas paths; the GSPMD fallback
+    ignores it (the caller checks train_precull_enabled, which mirrors
+    this gate)."""
     from ..train.step import _supports_pallas_train, make_train_step
 
     n_model = dict(mesh.shape).get(MODEL_AXIS, 1)
@@ -169,8 +182,13 @@ def make_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
     if (_supports_pallas_train(cfg) and n_model == 1 and n_data > 1
             and cfg.N_rays % n_data == 0):
         step = make_train_step(model, tx, cfg, H, W, focal,
-                               axis_name=DATA_AXIS)
-        return make_shardmap_train_step(step, mesh)
+                               axis_name=DATA_AXIS, precull=precull)
+        return make_shardmap_train_step(step, mesh, precull=precull)
+    if precull and n_model * n_data == 1:
+        # gated single-device step (the GSPMD wrapper below has the 5-arg
+        # signature; gating needs the trailing support arg)
+        step = make_train_step(model, tx, cfg, H, W, focal, precull=True)
+        return jax.jit(step, donate_argnums=(0,))
     # GSPMD path: pallas_call cannot be partitioned by GSPMD, so on a
     # >1-device mesh (TP, or mixed shapes) the field functions must be the
     # XLA ones even when the fused kernels would apply on one device.
@@ -180,7 +198,8 @@ def make_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
 
 
 def make_image_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
-                                   H: int, W: int, K):
+                                   H: int, W: int, K,
+                                   precull: bool = False):
     """Per-image training mode distributed over the mesh.
 
     The reference's per-image path (train.py:35-45 + rays.py:37) is
@@ -205,7 +224,8 @@ def make_image_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
     n_model = shape.get(MODEL_AXIS, 1)
     n_devices = n_model * shape.get(DATA_AXIS, 1)
     if n_devices == 1:
-        return make_image_train_step(model, tx, cfg, H, W, K)
+        return make_image_train_step(model, tx, cfg, H, W, K,
+                                     precull=precull)
 
     # The shard_map path slices N_rays/n_devices pixels per shard, so it
     # needs exact divisibility; a mesh that doesn't divide (e.g. 6 devices
@@ -214,19 +234,27 @@ def make_image_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
     if (_supports_pallas_train(cfg) and n_model == 1
             and cfg.N_rays % n_devices == 0):
         axis_step = make_image_train_step(model, tx, cfg, H, W, K,
-                                          axis_name=DATA_AXIS, jit=False)
+                                          axis_name=DATA_AXIS, jit=False,
+                                          precull=precull)
+        in_specs = (P(), P(), P(), P()) + ((P(),) if precull else ())
         variants = {}
         for precrop in (False, True):
             body = functools.partial(axis_step, precrop=precrop)
             sm = jax.shard_map(body, mesh=mesh,
-                               in_specs=(P(), P(), P(), P()),
+                               in_specs=in_specs,
                                out_specs=(P(), P()), check_vma=False)
             # no donation: mirrors make_image_train_step (params are ~2.4MB;
             # callers may hold the previous state, e.g. for eval hooks)
             variants[precrop] = jax.jit(sm)
 
-        def step(state, image, pose, key, precrop: bool = False):
-            return variants[bool(precrop)](state, image, pose, key)
+        if precull:
+            def step(state, image, pose, key, support,
+                     precrop: bool = False):
+                return variants[bool(precrop)](state, image, pose, key,
+                                               support)
+        else:
+            def step(state, image, pose, key, precrop: bool = False):
+                return variants[bool(precrop)](state, image, pose, key)
 
         return step
 

@@ -43,7 +43,7 @@ def _supports_pallas_train(cfg) -> bool:
 
 
 def _loss_and_metrics(model, params, rays_o, rays_d, target, key, cfg,
-                      force_xla: bool = False):
+                      force_xla: bool = False, support=None):
     from ..ops.render import (make_pallas_train_field_fns,
                               make_xla_field_fns, render_rays_train,
                               supports_train_rays_kernels)
@@ -51,8 +51,12 @@ def _loss_and_metrics(model, params, rays_o, rays_d, target, key, cfg,
     if (use_pallas and cfg.use_rays_train
             and supports_train_rays_kernels(cfg, rays_o.shape[0])):
         # ray-major custom-VJP kernels: positions built in-kernel, no
-        # [3,P] plane buffers (ops/render.render_rays_train)
-        out = render_rays_train(params, rays_o, rays_d, key, cfg)
+        # [3,P] plane buffers (ops/render.render_rays_train); ``support``
+        # (cfg.train_precull) additionally occupancy-gates each pass to
+        # its module's support interval — this is the only path that
+        # consumes it (train/precull.train_precull_enabled mirrors that)
+        out = render_rays_train(params, rays_o, rays_d, key, cfg,
+                                support=support)
     else:
         if use_pallas:
             coarse, fine = make_pallas_train_field_fns(params, cfg)
@@ -88,7 +92,8 @@ def _pmean_metrics(metrics, axis_name):
 
 def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
                     H: int = 0, W: int = 0, focal: float = 0.0,
-                    axis_name: str = None, force_xla: bool = False
+                    axis_name: str = None, force_xla: bool = False,
+                    precull: bool = False
                     ) -> Callable[..., Tuple[TrainState, Dict[str, Any]]]:
     """Global-batch train step: (state, rays_o, rays_d, target, key).
 
@@ -104,17 +109,30 @@ def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
     ``force_xla`` pins the field functions to the XLA path even when the
     fused Pallas kernels would apply — required under GSPMD on a >1-device
     mesh, where pallas_call cannot be partitioned.
-    """
 
-    def train_step(state: TrainState, rays_o, rays_d, target, key):
+    ``precull`` (cfg.train_precull; train/precull.py) changes the
+    signature to (state, rays_o, rays_d, target, key, support) where
+    ``support`` = (coarse bounds, fine bounds), each a (lo, hi, radius,
+    valid) tuple from the support program — the step occupancy-gates each
+    MLP pass to its module's per-ray support interval.
+    """
+    half = 0.0
+    if precull:
+        from ..eval.frame import _precull_half
+        half = _precull_half(cfg)
+
+    def train_step(state: TrainState, rays_o, rays_d, target, key,
+                   support=None):
         key = jax.random.fold_in(key, state.step)
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         rays_o, rays_d = maybe_ndc(rays_o, rays_d, H, W, focal, cfg.data_type)
+        sup = None if support is None else (*support, half)
 
         def loss_fn(params):
             return _loss_and_metrics(model, params, rays_o, rays_d,
-                                     target, key, cfg, force_xla=force_xla)
+                                     target, key, cfg, force_xla=force_xla,
+                                     support=sup)
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -125,22 +143,31 @@ def make_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), metrics
 
+    if not precull:
+        def train_step_plain(state, rays_o, rays_d, target, key):
+            return train_step(state, rays_o, rays_d, target, key)
+        return train_step_plain
     return train_step
 
 
 def make_scanned_train_step(model: NeRF, tx: optax.GradientTransformation,
                             cfg, H: int = 0, W: int = 0, focal: float = 0.0,
-                            n_inner: int = 8):
+                            n_inner: int = 8, precull: bool = False):
     """Run ``n_inner`` train steps inside one XLA program via lax.scan.
 
     The host hands over a [n_inner, N, 3] stack of pre-sliced ray batches
     and gets back the state after n_inner updates — zero host round-trips
     between updates, so dispatch latency amortises to nothing.  Metrics
     returned are the scan-stacked per-step values.
-    """
-    step = make_train_step(model, tx, cfg, H, W, focal)
 
-    def scanned(state: TrainState, o_stack, d_stack, rgb_stack, key):
+    With ``precull`` the scanned fn gains a trailing ``support`` arg,
+    constant across the chunk (the driver refreshes bounds only at chunk
+    boundaries — train/precull.py staleness notes).
+    """
+    step = make_train_step(model, tx, cfg, H, W, focal, precull=precull)
+
+    def scanned(state: TrainState, o_stack, d_stack, rgb_stack, key,
+                support=None):
         # the stack's leading axis IS the step count — a mismatched
         # n_inner would otherwise silently run a different number of
         # optimizer updates than the caller asked for
@@ -148,20 +175,27 @@ def make_scanned_train_step(model: NeRF, tx: optax.GradientTransformation,
 
         def body(st, xs):
             o, d, rgb = xs
-            st, m = step(st, o, d, rgb, key)
+            if precull:
+                st, m = step(st, o, d, rgb, key, support)
+            else:
+                st, m = step(st, o, d, rgb, key)
             return st, m
 
         state, metrics = jax.lax.scan(
             body, state, (o_stack, d_stack, rgb_stack))
         return state, metrics
 
+    if not precull:
+        def scanned_plain(state, o_stack, d_stack, rgb_stack, key):
+            return scanned(state, o_stack, d_stack, rgb_stack, key)
+        return scanned_plain
     return scanned
 
 
 def make_image_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
                           H: int, W: int, K, axis_name: str = None,
                           force_xla: bool = False, batch_constraint=None,
-                          jit: bool = True):
+                          jit: bool = True, precull: bool = False):
     """Per-image train step: generates the image's rays and samples N_rays
     pixels *inside* the program (reference recomputes rays on host per step,
     train.py:43 / rays.py:20).  `precrop` is a static arg — the loop
@@ -186,9 +220,13 @@ def make_image_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
     # backend) at every step-builder construction
     focal = float(np.asarray(K)[0, 0])
     K = jnp.asarray(K, jnp.float32)
+    half = 0.0
+    if precull:
+        from ..eval.frame import _precull_half
+        half = _precull_half(cfg)
 
     def train_step(state: TrainState, image, pose, key,
-                   precrop: bool = False):
+                   support=None, precrop: bool = False):
         key = jax.random.fold_in(key, state.step)
         key_px, key_render = jax.random.split(key)
         rays_o, rays_d = get_rays(H, W, K, pose)
@@ -206,10 +244,12 @@ def make_image_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
             ro = jax.lax.with_sharding_constraint(ro, batch_constraint)
             rd = jax.lax.with_sharding_constraint(rd, batch_constraint)
             target = jax.lax.with_sharding_constraint(target, batch_constraint)
+        sup = None if support is None else (*support, half)
 
         def loss_fn(params):
             return _loss_and_metrics(model, params, ro, rd, target,
-                                     key_render, cfg, force_xla=force_xla)
+                                     key_render, cfg, force_xla=force_xla,
+                                     support=sup)
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -220,6 +260,15 @@ def make_image_train_step(model: NeRF, tx: optax.GradientTransformation, cfg,
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), metrics
 
+    if not precull:
+        # keep the historical signature (no support arg) for every
+        # non-gated caller, incl. the shard_map wrappers whose in_specs
+        # count the positional args
+        def train_step_plain(state, image, pose, key, precrop=False):
+            return train_step(state, image, pose, key, precrop=precrop)
+        step = train_step_plain
+    else:
+        step = train_step
     if jit:
-        return jax.jit(train_step, static_argnames=("precrop",))
-    return train_step
+        return jax.jit(step, static_argnames=("precrop",))
+    return step

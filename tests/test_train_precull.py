@@ -1,0 +1,295 @@
+"""Occupancy-gated training (cfg.train_precull): the gated custom-VJP
+kernel pair (kernels/fused_mlp_vjp.fused_mlp_train_rays(gate=...)), the
+gated training render (ops/render.render_rays_train(support=...)), and
+the step/driver wiring (train/precull.py).
+
+Exactness contract under test (train/precull.py module docstring): with
+sound support bounds the gated step's LOSS is bit-equal to the ungated
+step (gated samples have exactly-zero compositing weights either way)
+and its GRADS are equal up to fp32 accumulation order (ray sorting
+changes tile membership in the kernel's cross-grid grad sums).
+
+The reference has no equivalent (train.py:53 evaluates every sample of
+every ray every step); this is the TPU framework's opt-in speed feature,
+so the tests pin it against the reference-parity ungated step.
+"""
+import dataclasses
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_pytorch_paeng_tpu.config import NerfConfig
+from nerf_pytorch_paeng_tpu.kernels.fused_mlp import pack_nerf_mlp_params
+from nerf_pytorch_paeng_tpu.kernels.fused_mlp_vjp import fused_mlp_train_rays
+from nerf_pytorch_paeng_tpu.models import init_nerf
+from nerf_pytorch_paeng_tpu.utils.synth import (fit_field_to_blob,
+                                                make_synth_scene)
+
+
+def _cfg(**kw):
+    # full reference architecture (the only one the rays kernels exist
+    # for); 8+8 samples keep interpret mode cheap; grid 16 over the
+    # half=far cube matches the eval pre-cull tests' resolution
+    base = dict(netDepth=8, netWidth=256, L_x=10, L_d=4,
+                N_samples_c=8, N_samples_f=8, near=2.0, far=6.0,
+                N_rays=256, use_pallas=True, train_precull=True,
+                render_precull_grid=16)
+    base.update(kw)
+    return NerfConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def compact_model():
+    """Fitted full-width model with GLOBALLY compact support, so the
+    measured support bounds are valid (same recipe as the eval pre-cull
+    fixtures, tests/test_frame_rays.py)."""
+    cfg = _cfg()
+    model, params0 = init_nerf(cfg, jax.random.PRNGKey(0))
+    params, fit_loss = fit_field_to_blob(
+        model, params0, jax.random.PRNGKey(1), n_steps=250, n_pts=2048,
+        uniform_frac=0.25)
+    assert fit_loss < 0.1, fit_loss
+    return cfg, model, params
+
+
+def _camera_rays(cfg, n, key):
+    """n pixel rays from a synth orbit camera (the geometry gating sees
+    in real training), plus random targets."""
+    from nerf_pytorch_paeng_tpu.ops.rays import get_rays
+    H = W = 32
+    _, K, poses = make_synth_scene(n_views=1, H=H, W=W)
+    ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32),
+                      jnp.asarray(poses[0][:3, :4]))
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.choice(k1, H * W, (n,), replace=False)
+    ro = ro.reshape(-1, 3)[idx]
+    rd = rd.reshape(-1, 3)[idx]
+    target = jax.random.uniform(k2, (n, 3))
+    return ro, rd, target
+
+
+# ---------------------------------------------------------------------------
+# kernel-pair level
+
+
+def _rand_kernel_inputs(key, n=256, s=16):
+    ko, kz, kc = jax.random.split(key, 3)
+    od = jnp.concatenate([
+        jax.random.normal(ko, (6, n)), jnp.zeros((2, n))], 0)
+    z = jnp.sort(jax.random.uniform(kz, (s, n), minval=2.0, maxval=6.0), 0)
+    cots = jax.random.normal(kc, (4, s, n))
+    return od, z, cots
+
+
+def _kernel_loss(packed, od, z, cots, tile, gate=None):
+    outs = fused_mlp_train_rays(packed, od, z, tile_rays=tile, s_rows=8,
+                                interpret=True, gate=gate)
+    return sum(jnp.sum(o * c) for o, c in zip(outs, cots))
+
+
+def test_gated_kernel_all_on_matches_ungated(compact_model):
+    """gate all-ones == the ungated pair, forward and backward."""
+    cfg, model, params = compact_model
+    packed = pack_nerf_mlp_params(params["coarse"], L_x=cfg.L_x,
+                                  L_d=cfg.L_d)
+    od, z, cots = _rand_kernel_inputs(jax.random.PRNGKey(2), n=256, s=16)
+    tile = 128
+    gate = jnp.ones(((256 // tile) * (16 // 8),), jnp.int32)
+
+    out_u = fused_mlp_train_rays(packed, od, z, tile_rays=tile, s_rows=8,
+                                 interpret=True)
+    out_g = fused_mlp_train_rays(packed, od, z, tile_rays=tile, s_rows=8,
+                                 interpret=True, gate=gate)
+    for u, g in zip(out_u, out_g):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(g))
+
+    g_u = jax.grad(_kernel_loss)(packed, od, z, cots, tile)
+    g_g = jax.grad(_kernel_loss)(packed, od, z, cots, tile, gate=gate)
+    for nme in g_u:
+        np.testing.assert_allclose(np.asarray(g_u[nme]),
+                                   np.asarray(g_g[nme]),
+                                   rtol=1e-6, atol=1e-6, err_msg=nme)
+
+
+def test_gated_kernel_skips_blocks_exactly(compact_model):
+    """Gated-off (tile, 8-row) blocks store exact zeros in the forward,
+    and the backward equals the ungated backward with cotangents zeroed
+    on the gated samples (their contributions are identically zero
+    there)."""
+    cfg, model, params = compact_model
+    packed = pack_nerf_mlp_params(params["coarse"], L_x=cfg.L_x,
+                                  L_d=cfg.L_d)
+    od, z, cots = _rand_kernel_inputs(jax.random.PRNGKey(3), n=256, s=16)
+    tile = 128
+    # grid is (2 tiles) x (2 rows), row-major (tile, row): gate off
+    # tile 0/row 1 and tile 1/row 0
+    gate = jnp.asarray([1, 0, 0, 1], jnp.int32)
+    mask = np.ones((16, 256), np.float32)
+    mask[8:, :128] = 0.0                                  # tile 0, row 1
+    mask[:8, 128:] = 0.0                                  # tile 1, row 0
+    mask = jnp.asarray(mask)
+
+    out_u = fused_mlp_train_rays(packed, od, z, tile_rays=tile, s_rows=8,
+                                 interpret=True)
+    out_g = fused_mlp_train_rays(packed, od, z, tile_rays=tile, s_rows=8,
+                                 interpret=True, gate=gate)
+    for u, g in zip(out_u, out_g):
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.asarray(u * mask))
+
+    g_g = jax.grad(_kernel_loss)(packed, od, z, cots, tile, gate=gate)
+    g_z = jax.grad(_kernel_loss)(packed, od, z, cots * mask[None], tile)
+    for nme in g_g:
+        np.testing.assert_allclose(np.asarray(g_g[nme]),
+                                   np.asarray(g_z[nme]),
+                                   rtol=1e-6, atol=1e-6, err_msg=nme)
+
+
+# ---------------------------------------------------------------------------
+# training-render / step level
+
+
+def _support_for(cfg, params):
+    from nerf_pytorch_paeng_tpu.train.precull import (
+        make_train_support_program)
+    prog, half = make_train_support_program(cfg)
+    bc, bf = prog(params)
+    assert bool(np.asarray(bc[3][0])), "coarse bounds must be valid"
+    assert bool(np.asarray(bf[3][0])), "fine bounds must be valid"
+    return (tuple(bc), tuple(bf))
+
+
+def test_gated_loss_bit_equal_grads_close(compact_model):
+    """The contract: gated _loss_and_metrics == ungated, loss bit-equal,
+    grads equal up to fp32 sum order — on a compact trained model whose
+    bounds are valid, with camera rays that include real misses."""
+    from nerf_pytorch_paeng_tpu.eval.frame import _precull_half
+    from nerf_pytorch_paeng_tpu.ops.render import (_gated_train_pass,
+                                                   train_support_intervals)
+    from nerf_pytorch_paeng_tpu.train.step import _loss_and_metrics
+
+    cfg, model, params = compact_model
+    support = _support_for(cfg, params)
+    half = _precull_half(cfg)
+    ro, rd, target = _camera_rays(cfg, 256, jax.random.PRNGKey(4))
+    key = jax.random.PRNGKey(5)
+
+    def loss_of(p, sup):
+        loss, m = _loss_and_metrics(model, p, ro, rd, target, key, cfg,
+                                    support=sup)
+        return loss, m
+
+    (l_u, m_u), g_u = jax.value_and_grad(
+        lambda p: loss_of(p, None), has_aux=True)(params)
+    (l_g, m_g), g_g = jax.value_and_grad(
+        lambda p: loss_of(p, (*support, half)), has_aux=True)(params)
+
+    # the machinery must actually gate something on this scene: some ray
+    # has samples provably outside the coarse support
+    t_lo, t_hi = train_support_intervals(ro, rd, support[0], half,
+                                         float(cfg.near), float(cfg.far))
+    zs = jnp.linspace(cfg.near, cfg.far, cfg.N_samples_c)
+    outside = (zs[None] < np.asarray(t_lo)[:, None]) | (
+        zs[None] > np.asarray(t_hi)[:, None])
+    assert float(np.mean(np.asarray(outside))) > 0.05
+
+    np.testing.assert_array_equal(np.asarray(l_u), np.asarray(l_g))
+    for k in m_u:
+        np.testing.assert_array_equal(np.asarray(m_u[k]),
+                                      np.asarray(m_g[k]), err_msg=k)
+    flat_u, _ = jax.flatten_util.ravel_pytree(g_u)
+    flat_g, _ = jax.flatten_util.ravel_pytree(g_g)
+    np.testing.assert_allclose(np.asarray(flat_u), np.asarray(flat_g),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gated_train_step_trajectory(compact_model):
+    """make_train_step(precull=True) replays the ungated trajectory:
+    2 optimizer steps from the fitted params, losses bit-equal, updated
+    params allclose (grad order only)."""
+    import optax
+
+    from nerf_pytorch_paeng_tpu.train.state import TrainState
+    from nerf_pytorch_paeng_tpu.train.step import make_train_step
+
+    cfg, model, params = compact_model
+    support = _support_for(cfg, params)
+    tx = optax.adam(1e-3)
+    ro, rd, target = _camera_rays(cfg, 256, jax.random.PRNGKey(6))
+    key = jax.random.PRNGKey(7)
+
+    step_u = make_train_step(model, tx, cfg)
+    step_g = make_train_step(model, tx, cfg, precull=True)
+    st_u = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    st_g = st_u
+    for _ in range(2):
+        st_u, m_u = step_u(st_u, ro, rd, target, key)
+        st_g, m_g = step_g(st_g, ro, rd, target, key, support)
+        np.testing.assert_allclose(float(m_u["loss"]), float(m_g["loss"]),
+                                   rtol=1e-6)
+    flat_u, _ = jax.flatten_util.ravel_pytree(st_u.params)
+    flat_g, _ = jax.flatten_util.ravel_pytree(st_g.params)
+    np.testing.assert_allclose(np.asarray(flat_u), np.asarray(flat_g),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_gated_step_on_mesh_matches_ungated_mesh(compact_model):
+    """The shard_map DP gated path (make_train_step_for_mesh(precull=True)
+    on the 8-device mesh) vs the ungated mesh step at IDENTICAL per-shard
+    RNG: loss bit-equal, updated params allclose (the single-device
+    comparison would decorrelate the per-shard jitter keys)."""
+    import optax
+
+    from nerf_pytorch_paeng_tpu.parallel import make_mesh
+    from nerf_pytorch_paeng_tpu.parallel.sharding import (
+        commit_replicated, make_train_step_for_mesh)
+    from nerf_pytorch_paeng_tpu.train.precull import train_precull_active
+    from nerf_pytorch_paeng_tpu.train.state import TrainState
+
+    cfg, model, params = compact_model
+    cfg = dataclasses.replace(cfg, N_rays=1024)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8, 1)
+    assert train_precull_active(cfg, mesh)
+    support = _support_for(cfg, params)
+    tx = optax.adam(1e-3)
+    ro, rd, target = _camera_rays(cfg, 1024, jax.random.PRNGKey(8))
+    key = jax.random.PRNGKey(9)
+
+    st0 = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    # independent buffer copies: both mesh steps donate their state arg
+    fresh = lambda: commit_replicated(
+        jax.tree_util.tree_map(jnp.array, st0), mesh)
+    stm = fresh()
+    sup_m = commit_replicated(support, mesh)
+
+    step_u = make_train_step_for_mesh(model, tx, cfg, mesh)
+    st_u, m_u = step_u(stm, ro, rd, target, key)
+
+    stm2 = fresh()
+    step_g = make_train_step_for_mesh(model, tx, cfg, mesh, precull=True)
+    st_g, m_g = step_g(stm2, ro, rd, target, key, sup_m)
+
+    np.testing.assert_array_equal(np.asarray(m_u["loss"]),
+                                  np.asarray(m_g["loss"]))
+    flat_u, _ = jax.flatten_util.ravel_pytree(st_u.params)
+    flat_g, _ = jax.flatten_util.ravel_pytree(st_g.params)
+    np.testing.assert_allclose(np.asarray(flat_u), np.asarray(flat_g),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_train_precull_enabled_gates():
+    from nerf_pytorch_paeng_tpu.train.precull import train_precull_enabled
+
+    assert train_precull_enabled(_cfg())
+    assert not train_precull_enabled(_cfg(train_precull=False))
+    assert not train_precull_enabled(_cfg(data_type="llff"))
+    assert not train_precull_enabled(_cfg(use_pallas=False))
+    assert not train_precull_enabled(_cfg(use_rays_train=False))
+    assert not train_precull_enabled(_cfg(N_samples_c=4, N_samples_f=4))
+    # grid 0 = auto = disabled off-TPU
+    assert not train_precull_enabled(_cfg(render_precull_grid=0))
