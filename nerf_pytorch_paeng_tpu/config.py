@@ -230,6 +230,15 @@ class NerfConfig:
     # pair's 2048 so the span-sorted miss rays fill whole gateable tiles
     # even at N_rays=4096 (measured sweep in docs/STATUS_ROUND3.md)
     train_precull_tile: int = 0
+    # profitability floor for the gated step: at every bounds refresh the
+    # driver predicts the skipped-grid-step fraction on a representative
+    # ray batch (train/precull.make_gate_frac_estimator — interval + gate
+    # plan math only, no MLP) and runs the UNGATED program below this
+    # value.  Gating pays ~13% span-sort + small-tile overhead, so
+    # wide-support scenes lose outright without the fallback (20k-iter
+    # photometric A/B: 132.5k -> 116.7k rays/s, GATED_TRAIN_AB_r03.json).
+    # 0 disables the check (always gate while bounds are valid).
+    train_precull_min_gate: float = 0.15
     # sample-axis (SP/context-parallel analog) sharding for full-frame
     # rendering: split each ray's sample axis over the mesh 'model' axis
     # with the distributed log-space transmittance scan (parallel/sp.py).

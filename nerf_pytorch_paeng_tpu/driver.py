@@ -127,7 +127,8 @@ def main_worker(cfg: NerfConfig) -> None:
     # occupancy-gated training (cfg.train_precull; train/precull.py):
     # per-module support bounds, refreshed from the live params every
     # train_precull_every iters, gate the training kernels' work
-    from .train.precull import (make_train_support_program,
+    from .train.precull import (make_gate_frac_estimator,
+                                make_train_support_program,
                                 train_precull_active)
     precull_on = bool(cfg.train_precull) and train_precull_active(cfg, mesh)
     if cfg.train_precull and not precull_on:
@@ -137,10 +138,54 @@ def main_worker(cfg: NerfConfig) -> None:
               "running ungated")
     support = None
     if precull_on:
-        support_prog, _ = make_train_support_program(cfg)
+        # support restricted to the TRAINING-frustum union: extrapolated
+        # junk density outside it never meets a training sample, and
+        # would otherwise invalidate the bounds all run (precull.py)
+        support_prog, _ = make_train_support_program(
+            cfg, poses=np.asarray(extrinsics)[i_train, :3, :4],
+            K=np.asarray(K), hw=(H, W))
+
+        # profitability probe: a fixed representative ray batch at the
+        # PER-SHARD count the gated kernels see (train_precull_active
+        # guarantees divisibility), drawn once from training cameras
+        from .ops.rays import get_rays
+        from .parallel.mesh import DATA_AXIS
+        n_est = cfg.N_rays // max(dict(mesh.shape).get(DATA_AXIS, 1), 1)
+        est_fn = make_gate_frac_estimator(cfg)
+        est_rng = np.random.default_rng(cfg.seed + 7)
+        sel = est_rng.choice(i_train, size=min(4, len(i_train)),
+                             replace=False)
+        eo, ed = [], []
+        for p in sel:
+            ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32),
+                              jnp.asarray(np.asarray(extrinsics[p])[:3, :4],
+                                          jnp.float32))
+            pix = est_rng.choice(H * W, size=-(-n_est // len(sel)),
+                                 replace=False)
+            eo.append(np.asarray(ro).reshape(-1, 3)[pix])
+            ed.append(np.asarray(rd).reshape(-1, 3)[pix])
+        est_o = jnp.asarray(np.concatenate(eo)[:n_est])
+        est_d = jnp.asarray(np.concatenate(ed)[:n_est])
+        gated_now = [None]   # None -> the first refresh always prints
 
         def refresh_support(params):
             bc, bf = support_prog(params)
+            # one host read per refresh: while the bounds are invalid
+            # (early training, fog everywhere) or the predicted gate
+            # fraction cannot repay the ~13% sort + small-tile overhead,
+            # run the UNGATED program (train/precull.py estimator notes)
+            gf = est_fn(tuple(bc), tuple(bf), est_o, est_d)
+            vc, vf, gfh = jax.device_get((bc[3], bf[3], gf))
+            valid = bool(vc[0]) and bool(vf[0])
+            on = valid and float(gfh) >= cfg.train_precull_min_gate
+            if on != gated_now[0]:
+                gated_now[0] = on
+                why = (f"predicted gate_frac {float(gfh):.3f}" if valid
+                       else "bounds invalid")
+                print(f">> train_precull -> "
+                      f"{'GATED' if on else 'ungated'} ({why})")
+            if not on:
+                return None
             return commit_replicated((tuple(bc), tuple(bf)), mesh)
 
         print(f">> train_precull on (refresh every "

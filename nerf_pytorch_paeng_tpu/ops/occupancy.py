@@ -41,8 +41,23 @@ import jax
 import jax.numpy as jnp
 
 
+def _dilate(m, grid: int):
+    """One-cell 6-neighborhood closure of a [G, G, G] mask."""
+    def dil(m, axis):
+        z = jnp.zeros_like(jnp.take(m, jnp.arange(1), axis=axis))
+        lo = jnp.concatenate([jnp.take(m, jnp.arange(1, grid), axis=axis), z],
+                             axis=axis)
+        hi = jnp.concatenate([z, jnp.take(m, jnp.arange(grid - 1), axis=axis)],
+                             axis=axis)
+        return m | lo | hi
+
+    for ax in (0, 1, 2):
+        m = dil(m, ax)
+    return m
+
+
 def support_bounds_from_sigma(sigma_plane_fn, half_side: float,
-                              grid: int = 128):
+                              grid: int = 128, domain_mask=None):
     """Bounding volume of {x : sigma_raw(x) > 0} within the origin cube
     [-half_side, half_side]^3.
 
@@ -57,6 +72,17 @@ def support_bounds_from_sigma(sigma_plane_fn, half_side: float,
         coverage, not correctness.
       grid: cells per axis (the MLP sees grid^3 points — 2M at 128, a few
         ms of sigma-kernel time on a v5e).
+      domain_mask: optional [G, G, G] bool — restrict the measured
+        support to {sigma > 0} ∩ domain.  Sound ONLY when every point
+        the caller will test against the bounds provably lies in the
+        domain: the training pre-cull passes the one-cell-dilated
+        training-frustum union (frustum_union_mask), because every
+        training sample lies on a training ray inside its own frustum —
+        density the model extrapolates into never-sampled regions is
+        irrelevant to training and must not invalidate the bounds.
+        (The EVAL pre-cull must NOT pass a mask: novel-view rays may
+        sample outside the training union, where that junk density is
+        what the exact render would show.)
 
     Returns (trace-friendly; all on-device):
       lo [3], hi [3]: dilated AABB of the occupied cells (cell OUTER
@@ -76,19 +102,12 @@ def support_bounds_from_sigma(sigma_plane_fn, half_side: float,
     xplane = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], 0)
     occ = (sigma_plane_fn(xplane).astype(jnp.float32) > 0.0)
     occ = occ.reshape(grid, grid, grid)
+    if domain_mask is not None:
+        occ = occ & domain_mask
 
     # dilate by one cell per axis (6-neighborhood closure of the mask —
     # covers sub-cell spill of a feature sampled near a cell face)
-    def dil(m, axis):
-        z = jnp.zeros_like(jnp.take(m, jnp.arange(1), axis=axis))
-        lo = jnp.concatenate([jnp.take(m, jnp.arange(1, grid), axis=axis), z],
-                             axis=axis)
-        hi = jnp.concatenate([z, jnp.take(m, jnp.arange(grid - 1), axis=axis)],
-                             axis=axis)
-        return m | lo | hi
-
-    for ax in (0, 1, 2):
-        occ = dil(occ, ax)
+    occ = _dilate(occ, grid)
 
     any_occ = jnp.any(occ)
     # per-axis occupied index ranges -> AABB over cell outer corners
@@ -114,6 +133,77 @@ def support_bounds_from_sigma(sigma_plane_fn, half_side: float,
     r = jnp.sqrt(jnp.max(jnp.where(occ, d2, 0.0))) + cell * jnp.sqrt(3.0) / 2
     valid = any_occ & ~touches
     return lo, hi, r.reshape(1), valid.reshape(1)
+
+
+def frustum_union_mask(poses, K, H: int, W: int, near: float, far: float,
+                       half_side: float, grid: int) -> jnp.ndarray:
+    """[G, G, G] bool mask of grid cells that may contain TRAINING
+    samples: cell centers inside the union of the cameras' [near, far]
+    viewing frusta, dilated by one cell (so any cell that intersects the
+    union is included — the same one-cell granularity trust the support
+    dilation uses).
+
+    Camera model matches ops/rays.get_rays exactly: a point p lies on
+    camera (c2w = [R|t])'s pixel (i, j) at depth t iff
+    ``R^T (p - o) = t * [(i-cx)/fx, -(j-cy)/fy, -1]`` — so depth is
+    -z_cam and the pixel coordinates are recovered by perspective
+    division (R is a rigid rotation for every supported dataset, so the
+    inverse is the transpose).
+
+    Soundness (superset of the union is REQUIRED — a training sample in
+    an excluded cell would let the gated step skip live density): a
+    sample p in cell C satisfies ``|center_C - p| <= r`` with
+    r = (sqrt(3)/2)·cell (the cell half-diagonal), so C is included iff
+    its center lies within r of the *fattened* frustum — every face is
+    pushed out conservatively: depth by r, and the pixel bounds both
+    multiplicatively by t_p/t_q <= 1 + r/t and additively by f·r/t (the
+    exact perspective bound for a lateral/depth displacement <= r; the
+    axis dilation alone covers only 1·cell along axes, NOT the 0.87·cell
+    diagonal worst case of a corner-grazing frustum face).  The one-cell
+    dilation on top is free extra slack, not the soundness mechanism.
+
+    Used by the TRAINING pre-cull (train/precull.py) to restrict the
+    measured density support to the region training rays can sample:
+    density the MLP extrapolates into never-sampled space (cube corners,
+    behind cameras) would otherwise reach the estimation-cube boundary
+    and invalidate the bounds on every real photometric run.
+
+    poses [M, 3, 4] (or [M, 4, 4]) camera-to-world; K [3, 3].
+    """
+    poses = jnp.asarray(poses, jnp.float32)[:, :3, :4]
+    K = jnp.asarray(K, jnp.float32)
+    cell = 2.0 * half_side / grid
+    centers = (jnp.arange(grid, dtype=jnp.float32) + 0.5) * cell - half_side
+    gx, gy, gz = jnp.meshgrid(centers, centers, centers, indexing="ij")
+    pts = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)   # [P, 3]
+
+    r = (3.0 ** 0.5 / 2.0) * cell     # cell half-diagonal (see docstring)
+
+    def one_cam(c2w):
+        p_cam = (pts - c2w[:, 3]) @ c2w[:, :3]                  # R^T (p - o)
+        t = -p_cam[:, 2]
+        safe_t = jnp.where(t > 1e-6, t, 1.0)
+        i = K[0, 2] + K[0, 0] * (p_cam[:, 0] / safe_t)
+        j = K[1, 2] - K[1, 1] * (p_cam[:, 1] / safe_t)
+        # fattened pixel half-widths: centered extent scaled by 1 + r/t
+        # plus the f·r/t lateral term (docstring derivation)
+        scale = 1.0 + r / safe_t
+        ci, cj = K[0, 2], K[1, 2]
+        half_i = (jnp.maximum(ci, (W - 1) - ci) + 1.0) * scale \
+            + K[0, 0] * r / safe_t
+        half_j = (jnp.maximum(cj, (H - 1) - cj) + 1.0) * scale \
+            + K[1, 1] * r / safe_t
+        return ((t >= max(near - r, 1e-6)) & (t <= far + r)
+                & (jnp.abs(i - ci) <= half_i)
+                & (jnp.abs(j - cj) <= half_j))
+
+    # scan (not vmap) over cameras: [M, G^3] intermediates for a
+    # 100-view dataset at grid 128 would be GBs; the OR-accumulator is
+    # one [G^3] bool
+    mask, _ = jax.lax.scan(
+        lambda acc, c2w: (acc | one_cam(c2w), None),
+        jnp.zeros((pts.shape[0],), bool), poses)
+    return _dilate(mask.reshape(grid, grid, grid), grid)
 
 
 def ray_support_interval(rays_o, rays_d, lo, hi, radius, valid,

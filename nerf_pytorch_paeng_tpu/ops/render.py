@@ -33,6 +33,9 @@ class RaysRender(NamedTuple):
     disp_f: Optional[jnp.ndarray]
     acc_f: Optional[jnp.ndarray]
     depth_f: Optional[jnp.ndarray]
+    # fraction of (ray-tile, sample-row) kernel grid steps the occupancy
+    # gating skipped (train_precull observability; None when ungated)
+    gate_frac: Optional[jnp.ndarray] = None
 
 
 def make_xla_field_fns(model, params, cfg):
@@ -179,6 +182,49 @@ def train_support_intervals(rays_o, rays_d, bounds, half: float,
     return (jnp.where(inside, t_lo, near), jnp.where(inside, t_hi, far))
 
 
+def train_gate_tile(cfg, n: int, base_tile: int) -> int:
+    """Ray-tile for the GATED training kernels.  Smaller than the ungated
+    pair's 2048: gating is per (tile, row) and a 4096-ray batch needs
+    enough tiles for the sorted miss rays to fill whole tiles (eval's
+    640k-ray frames get this for free); cfg.train_precull_tile overrides
+    (0 = auto, 512 measured best on v5e — see docs/STATUS_ROUND3.md)."""
+    gt = int(getattr(cfg, "train_precull_tile", 0))
+    tile = gt or min(base_tile, 512)
+    while tile > 128 and n % tile:
+        tile //= 2
+    return tile
+
+
+def train_gate_plan(zs, t_lo, t_hi, tile: int):
+    """Span-sorted (ray-tile, 8-sample-row) gate plan for one gated
+    training pass: rays sorted by their (first, last) active-row span so
+    tiles share spans (the eval pre-cull's trick,
+    eval/frame._gated_sigma_t); span-empty rays (provable misses — every
+    sample outside support) sort last and gate whole rows.
+
+    zs [S, N] (S % 8 == 0) sample depths, [t_lo, t_hi] [N] the module's
+    conservative support interval.  Returns (order [N], inv [N],
+    gate [(N//tile)*(S//8)] int32, gate_frac scalar) — gate_frac is the
+    fraction of kernel grid steps skipped.
+    """
+    s, n = zs.shape
+    n_rows = s // 8
+    act = (zs >= t_lo[None]) & (zs <= t_hi[None])             # [S, N]
+    act_r = act.reshape(n_rows, 8, n).any(1)                  # [R, N]
+    any_act = act_r.any(0)
+    first = jnp.argmax(act_r, 0)
+    last = (n_rows - 1) - jnp.argmax(act_r[::-1], 0)
+    span_key = jnp.where(any_act, first * (n_rows + 1) + last,
+                         n_rows * (n_rows + 2))
+    order = jnp.argsort(span_key)                             # stable
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    gate = act_r[:, order].reshape(n_rows, n // tile, tile).any(-1)
+    gate = gate.T.reshape(-1).astype(jnp.int32)               # [(tiles)*R]
+    gate_frac = 1.0 - jnp.mean(gate.astype(jnp.float32))
+    return order, inv, gate, gate_frac
+
+
 def _gated_train_pass(packed, od, z_t, t_lo, t_hi, tile, cfg, interpret):
     """One occupancy-gated training MLP pass (fwd + custom-VJP bwd).
 
@@ -201,35 +247,14 @@ def _gated_train_pass(packed, od, z_t, t_lo, t_hi, tile, cfg, interpret):
     from ..kernels.fused_mlp_vjp import fused_mlp_train_rays
 
     s, n = z_t.shape
-    # smaller ray-tiles than the ungated pair's 2048: gating is per
-    # (tile, row) and a 4096-ray batch needs enough tiles for the sorted
-    # miss rays to fill whole tiles (eval's 640k-ray frames get this for
-    # free); cfg.train_precull_tile overrides (0 = auto)
-    gt = int(getattr(cfg, "train_precull_tile", 0))
-    tile = gt or min(tile, 512)
-    while tile > 128 and n % tile:
-        tile //= 2
+    tile = train_gate_tile(cfg, n, tile)
     assert n % tile == 0 and tile % 128 == 0 and s % 8 == 0, (s, n, tile)
-    n_rows = s // 8
-    zs = jax.lax.stop_gradient(z_t)
-    act = (zs >= t_lo[None]) & (zs <= t_hi[None])             # [S, N]
-    act_r = act.reshape(n_rows, 8, n).any(1)                  # [R, N]
-    # sort rays by (first, last) active row; span-empty rays (provable
-    # misses — every sample outside support) sort last and gate whole rows
-    any_act = act_r.any(0)
-    first = jnp.argmax(act_r, 0)
-    last = (n_rows - 1) - jnp.argmax(act_r[::-1], 0)
-    span_key = jnp.where(any_act, first * (n_rows + 1) + last,
-                         n_rows * (n_rows + 2))
-    order = jnp.argsort(span_key)                             # stable
-    inv = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32))
-    gate = act_r[:, order].reshape(n_rows, n // tile, tile).any(-1)
-    gate = gate.T.reshape(-1).astype(jnp.int32)               # [(tiles)*R]
+    order, inv, gate, gate_frac = train_gate_plan(
+        jax.lax.stop_gradient(z_t), t_lo, t_hi, tile)
     r, g, b, sg = fused_mlp_train_rays(
         packed, od[:, order], z_t[:, order], L_x=cfg.L_x, L_d=cfg.L_d,
         tile_rays=tile, s_rows=8, interpret=interpret, gate=gate)
-    return r[:, inv], g[:, inv], b[:, inv], sg[:, inv]
+    return (r[:, inv], g[:, inv], b[:, inv], sg[:, inv]), gate_frac
 
 
 def render_rays_train(params, rays_o, rays_d, key, cfg,
@@ -281,9 +306,11 @@ def render_rays_train(params, rays_o, rays_d, key, cfg,
     s_rows = lambda s: 16 if s % 16 == 0 else 8
     z_vals = stratified_z_vals(key_c, n, near, far,
                                cfg.N_samples_c, perturb=True)
+    gate_frac = None
     if support is not None:
-        r, g, b, sg = _gated_train_pass(packed_c, od, z_vals.T, *iv_c,
-                                        tile, cfg, interpret)
+        (r, g, b, sg), gf_c = _gated_train_pass(packed_c, od, z_vals.T,
+                                                *iv_c, tile, cfg, interpret)
+        gate_frac = gf_c
     else:
         r, g, b, sg = fused_mlp_train_rays(
             packed_c, od, z_vals.T, L_x=cfg.L_x, L_d=cfg.L_d,
@@ -291,7 +318,8 @@ def render_rays_train(params, rays_o, rays_d, key, cfg,
             s_rows=s_rows(cfg.N_samples_c))
     out_c = volume_render_rays_t(r, g, b, sg, z_vals.T, rays_d)
     if cfg.N_samples_f <= 0:
-        return RaysRender(out_c.rgb, out_c.disp, None, None, None, None)
+        return RaysRender(out_c.rgb, out_c.disp, None, None, None, None,
+                          gate_frac)
 
     z_all = hierarchical_z_vals(z_vals, out_c.weights.T, key_f,
                                 n_fine=cfg.N_samples_f,
@@ -299,15 +327,19 @@ def render_rays_train(params, rays_o, rays_d, key, cfg,
     z_t = jax.lax.stop_gradient(z_all.T)
     s_merged = cfg.N_samples_c + cfg.N_samples_f
     if support is not None:
-        r, g, b, sg = _gated_train_pass(packed_f, od, z_t, *iv_f,
-                                        tile, cfg, interpret)
+        (r, g, b, sg), gf_f = _gated_train_pass(packed_f, od, z_t, *iv_f,
+                                                tile, cfg, interpret)
+        # grid-step fraction over both passes, weighted by sample count
+        # (the kernels' cost is proportional to active row-steps)
+        gate_frac = (gate_frac * cfg.N_samples_c + gf_f * s_merged) / (
+            cfg.N_samples_c + s_merged)
     else:
         r, g, b, sg = fused_mlp_train_rays(
             packed_f, od, z_t, L_x=cfg.L_x, L_d=cfg.L_d,
             tile_rays=tile, interpret=interpret, s_rows=s_rows(s_merged))
     out_f = volume_render_rays_t(r, g, b, sg, z_t, rays_d)
     return RaysRender(out_c.rgb, out_c.disp, out_f.rgb, out_f.disp,
-                      out_f.acc, out_f.depth)
+                      out_f.acc, out_f.depth, gate_frac)
 
 
 def hierarchical_z_vals(z_vals, weights, key, *, n_fine: int,

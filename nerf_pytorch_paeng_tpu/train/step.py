@@ -73,6 +73,10 @@ def _loss_and_metrics(model, params, rays_o, rays_d, target, key, cfg,
         loss = loss_c
         metrics = dict(loss=loss, loss_c=loss_c, psnr_c=mse2psnr(loss_c))
     metrics["psnr"] = mse2psnr(loss)
+    if getattr(out, "gate_frac", None) is not None:
+        # occupancy-gating observability: fraction of kernel grid steps
+        # skipped this step (train_precull; rises as empty space carves)
+        metrics["gate_frac"] = out.gate_frac
     return loss, metrics
 
 

@@ -282,6 +282,222 @@ def test_gated_step_on_mesh_matches_ungated_mesh(compact_model):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_frustum_union_mask_oracle():
+    """Cells holding actual training-ray samples are in the mask
+    (superset property — the soundness direction); cells far outside
+    every frustum are not (the usefulness direction)."""
+    from nerf_pytorch_paeng_tpu.ops.occupancy import frustum_union_mask
+    from nerf_pytorch_paeng_tpu.ops.rays import get_rays
+
+    H = W = 16
+    _, K, poses = make_synth_scene(n_views=3, H=H, W=W)
+    poses34 = np.asarray(poses)[:, :3, :4]
+    half, grid = 6.0, 24
+    mask = np.asarray(frustum_union_mask(poses34, K, H, W, 2.0, 6.0,
+                                         half, grid))
+    cell = 2 * half / grid
+
+    def cell_of(p):
+        idx = np.floor((p + half) / cell).astype(int)
+        return tuple(np.clip(idx, 0, grid - 1))
+
+    rng = np.random.default_rng(0)
+    for pose in poses34:
+        ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32),
+                          jnp.asarray(pose))
+        ro = np.asarray(ro).reshape(-1, 3)
+        rd = np.asarray(rd).reshape(-1, 3)
+        # adversarial face grazes: border-pixel rays at the depth
+        # endpoints (worst case for the metric-margin soundness proof —
+        # axis dilation alone provably misses diagonal corner cuts)
+        border = [k for k in range(H * W)
+                  if k // W in (0, H - 1) or k % W in (0, W - 1)]
+        for r in border:
+            for t in (2.0, 2.001, 5.999, 6.0):
+                p = ro[r] + t * rd[r]
+                assert mask[cell_of(p)], (p, t, "border")
+        for _ in range(64):
+            r = rng.integers(len(ro))
+            t = rng.uniform(2.0, 6.0)
+            p = ro[r] + t * rd[r]
+            assert np.all(np.abs(p) < half), p  # stays in the cube
+            assert mask[cell_of(p)], (p, t)
+
+    # cube corners: never visible from origin-orbit cameras at radius 4
+    for corner in ([5.7, 5.7, 5.7], [-5.7, -5.7, 5.7], [5.7, -5.7, -5.7]):
+        assert not mask[cell_of(np.asarray(corner))], corner
+
+
+def test_union_masked_bounds_ignore_out_of_frustum_junk():
+    """The real-photometric-run failure mode: junk density in
+    never-sampled space invalidates global bounds; the union-masked
+    bounds stay valid and tight around the in-frustum blob."""
+    from nerf_pytorch_paeng_tpu.ops.occupancy import (
+        frustum_union_mask, support_bounds_from_sigma)
+
+    H = W = 16
+    _, K, poses = make_synth_scene(n_views=3, H=H, W=W)
+    half, grid = 6.0, 24
+
+    def sigma_with_junk(xplane):
+        blob = 8.0 * jnp.maximum(
+            jnp.exp(-jnp.sum(xplane ** 2, 0) / 0.72) - 0.05, 0.0)
+        corner = jnp.all(xplane > 5.0, 0).astype(jnp.float32)
+        return blob + 3.0 * corner
+
+    lo, hi, rad, valid = support_bounds_from_sigma(sigma_with_junk, half,
+                                                   grid=grid)
+    assert not bool(valid[0])  # junk reaches the cube boundary
+
+    domain = frustum_union_mask(np.asarray(poses)[:, :3, :4], K, H, W,
+                                2.0, 6.0, half, grid)
+    lo, hi, rad, valid = support_bounds_from_sigma(
+        sigma_with_junk, half, grid=grid, domain_mask=domain)
+    assert bool(valid[0])
+    # tight around the blob (support radius ~1.7), junk excluded
+    assert np.all(np.asarray(hi) < 4.0) and np.all(np.asarray(lo) > -4.0)
+
+
+def test_support_program_with_poses(compact_model):
+    """make_train_support_program with the training camera set: the
+    union-masked program yields valid bounds on the compact model, and
+    the step builders accept support=None (the driver's invalid-bounds
+    fallback) producing the bit-identical ungated step."""
+    import optax
+
+    from nerf_pytorch_paeng_tpu.train.precull import (
+        make_train_support_program)
+    from nerf_pytorch_paeng_tpu.train.state import TrainState
+    from nerf_pytorch_paeng_tpu.train.step import make_train_step
+
+    cfg, model, params = compact_model
+    H = W = 32
+    _, K, poses = make_synth_scene(n_views=2, H=H, W=W)
+    prog, _ = make_train_support_program(
+        cfg, poses=np.asarray(poses)[:, :3, :4], K=np.asarray(K),
+        hw=(H, W))
+    bc, bf = prog(params)
+    assert bool(np.asarray(bc[3][0])) and bool(np.asarray(bf[3][0]))
+
+    tx = optax.adam(1e-3)
+    ro, rd, target = _camera_rays(cfg, 256, jax.random.PRNGKey(11))
+    key = jax.random.PRNGKey(12)
+    st0 = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    step_u = make_train_step(model, tx, cfg)
+    step_g = make_train_step(model, tx, cfg, precull=True)
+    _, m_u = step_u(st0, ro, rd, target, key)
+    _, m_n = step_g(st0, ro, rd, target, key, None)
+    np.testing.assert_array_equal(np.asarray(m_u["loss"]),
+                                  np.asarray(m_n["loss"]))
+    assert "gate_frac" not in m_n
+
+
+def test_support_none_through_mesh_step(compact_model):
+    """support=None flows through the shard_map gated step (the driver
+    falls back this way while bounds are invalid)."""
+    import optax
+
+    from nerf_pytorch_paeng_tpu.parallel import make_mesh
+    from nerf_pytorch_paeng_tpu.parallel.sharding import (
+        commit_replicated, make_train_step_for_mesh)
+    from nerf_pytorch_paeng_tpu.train.state import TrainState
+
+    cfg, model, params = compact_model
+    cfg = dataclasses.replace(cfg, N_rays=1024)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8, 1)
+    tx = optax.adam(1e-3)
+    ro, rd, target = _camera_rays(cfg, 1024, jax.random.PRNGKey(13))
+    st0 = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    # fresh buffer copies: the mesh step donates its state arg, and the
+    # module fixture's params must survive for later tests
+    stm = commit_replicated(jax.tree_util.tree_map(jnp.array, st0), mesh)
+    step_g = make_train_step_for_mesh(model, tx, cfg, mesh, precull=True)
+    _, m = step_g(stm, ro, rd, target, jax.random.PRNGKey(14), None)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_gate_frac_metric(compact_model):
+    """The gated step reports the skipped-grid-step fraction."""
+    import optax
+
+    from nerf_pytorch_paeng_tpu.train.state import TrainState
+    from nerf_pytorch_paeng_tpu.train.step import make_train_step
+
+    cfg, model, params = compact_model
+    # small gated tiles so the span-sorted miss rays fill whole gateable
+    # tiles (512 rays / tile 128 = 4 tiles)
+    cfg = dataclasses.replace(cfg, N_rays=512, train_precull_tile=128)
+    support = _support_for(cfg, params)
+    tx = optax.adam(1e-3)
+    ro, rd, target = _camera_rays(cfg, 512, jax.random.PRNGKey(4))
+    # make half the batch provable misses: rays from (4,0,0) sweeping
+    # sideways — their [2,6] segments stay inside the half=6 cube but
+    # never come closer than 4 to the origin (outside any compact blob's
+    # support), so their tiles must gate off entirely
+    jit_lat = 0.1 * jax.random.normal(jax.random.PRNGKey(6), (256, 2))
+    ro = ro.at[256:].set(jnp.asarray([4.0, 0.0, 0.0]))
+    rd = rd.at[256:].set(jnp.stack(
+        [jnp.zeros(256), 0.5 + jit_lat[:, 0] * 0.1,
+         0.3 + jit_lat[:, 1] * 0.1], -1))
+    st0 = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    step_g = make_train_step(model, tx, cfg, precull=True)
+    _, m = step_g(st0, ro, rd, target, jax.random.PRNGKey(5), support)
+    gf = float(m["gate_frac"])
+    assert 0.0 < gf < 1.0, gf
+
+
+def test_gate_frac_estimator(compact_model):
+    """The kernel-free profitability estimator (the driver's fallback
+    policy, cfg.train_precull_min_gate): ~0 under full-support or
+    invalid bounds, and on a half-provable-miss batch substantial AND a
+    floor of the realized gate_frac metric (its fine-pass model spreads
+    pdf samples over the whole active interval — a superset of real
+    activity; the coarse midpoints differ from a stratified draw only at
+    interval-boundary bins)."""
+    import optax
+
+    from nerf_pytorch_paeng_tpu.train.precull import (
+        make_gate_frac_estimator)
+    from nerf_pytorch_paeng_tpu.train.state import TrainState
+    from nerf_pytorch_paeng_tpu.train.step import make_train_step
+
+    cfg, model, params = compact_model
+    cfg = dataclasses.replace(cfg, N_rays=512, train_precull_tile=128)
+    est = make_gate_frac_estimator(cfg)
+    support = _support_for(cfg, params)
+
+    # same half-provable-miss construction as test_gate_frac_metric
+    ro, rd, target = _camera_rays(cfg, 512, jax.random.PRNGKey(4))
+    jit_lat = 0.1 * jax.random.normal(jax.random.PRNGKey(6), (256, 2))
+    ro = ro.at[256:].set(jnp.asarray([4.0, 0.0, 0.0]))
+    rd = rd.at[256:].set(jnp.stack(
+        [jnp.zeros(256), 0.5 + jit_lat[:, 0] * 0.1,
+         0.3 + jit_lat[:, 1] * 0.1], -1))
+    gf_est = float(est(support[0], support[1], ro, rd))
+
+    tx = optax.adam(1e-3)
+    st0 = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    step_g = make_train_step(model, tx, cfg, precull=True)
+    _, m = step_g(st0, ro, rd, target, jax.random.PRNGKey(5), support)
+    gf_real = float(m["gate_frac"])
+
+    assert gf_est > 0.2, (gf_est, gf_real)
+    assert gf_est <= gf_real + 0.05, (gf_est, gf_real)
+
+    # full-cube support: every sample active, nothing to gate
+    full = (jnp.full((3,), -6.0), jnp.full((3,), 6.0),
+            jnp.asarray([6.0 * np.sqrt(3.0)], jnp.float32),
+            jnp.asarray([True]))
+    assert float(est(full, full, ro, rd)) == 0.0
+    # invalid bounds widen every interval to [near, far]: estimate 0,
+    # so the policy falls back ungated on validity alone
+    inval = (support[0][0], support[0][1], support[0][2],
+             jnp.asarray([False]))
+    assert float(est(inval, inval, ro, rd)) == 0.0
+
+
 def test_train_precull_enabled_gates():
     from nerf_pytorch_paeng_tpu.train.precull import train_precull_enabled
 

@@ -28,7 +28,10 @@ sys.path.insert(0, ROOT)
 LOGDIR = os.path.join(ROOT, "logs")
 
 
-def run_one(exp: str, iter_n: int, precull: bool, data: str) -> dict:
+def run_one(exp: str, iter_n: int, mode: str, data: str) -> dict:
+    """mode: 'ungated' | 'gated' (forced: min_gate=0, always gate while
+    bounds are valid) | 'auto' (the shipping policy: the driver's
+    profitability estimator decides at each refresh)."""
     from nerf_pytorch_paeng_tpu.config import load_config
     from nerf_pytorch_paeng_tpu.driver import main_worker
 
@@ -39,8 +42,10 @@ def run_one(exp: str, iter_n: int, precull: bool, data: str) -> dict:
             "--idx_save", str(iter_n), "--idx_test", str(iter_n),
             "--idx_render", "0", "--idx_print", "1000",
             "--testskip", "1"]
-    if precull:
+    if mode != "ungated":
         argv += ["--train_precull", "True"]
+    if mode == "gated":
+        argv += ["--train_precull_min_gate", "0"]
     cfg = load_config(argv)
     t0 = time.time()
     main_worker(cfg)
@@ -48,7 +53,7 @@ def run_one(exp: str, iter_n: int, precull: bool, data: str) -> dict:
 
     exp_dir = os.path.join(LOGDIR, exp)
     res = {"wall_clock_sec": round(wall, 1), "iter_N": iter_n,
-           "train_precull": precull}
+           "train_precull": mode != "ungated", "mode": mode}
     # steady-state throughput: median of the logged tail (first logs pay
     # compile + invalid-bounds iters)
     import csv
@@ -71,21 +76,26 @@ def run_one(exp: str, iter_n: int, precull: bool, data: str) -> dict:
     return res
 
 
-def main(iter_n: int = 20000):
+def main(iter_n: int = 20000, arms=("ungated", "gated", "auto")):
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     from run_flagship_200k import DATA, ensure_dataset
     ensure_dataset()
 
-    art = {"scene": "flagship 13-view synthetic 800x800",
-           "config": "configs/blender/lego.txt unchanged except iter_N",
-           "device": "TPU v5e (1 chip)"}
-    art["ungated"] = run_one("ab_ungated_r03", iter_n, False, DATA)
-    art["gated"] = run_one("ab_gated_r03", iter_n, True, DATA)
     out = os.path.join(ROOT, "docs", "artifacts", "GATED_TRAIN_AB_r03.json")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    json.dump(art, open(out, "w"), indent=1)
+    # merge into an existing artifact so single arms can be (re)run
+    art = json.load(open(out)) if os.path.isfile(out) else {}
+    art.update({"scene": "flagship 13-view synthetic 800x800",
+                "config": "configs/blender/lego.txt unchanged except iter_N",
+                "device": "TPU v5e (1 chip)"})
+    for arm in arms:
+        art[arm] = run_one(f"ab_{arm}_r03", iter_n, arm, DATA)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        json.dump(art, open(out, "w"), indent=1)
     print(json.dumps(art, indent=1))
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20000)
+    it = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    arms = tuple(sys.argv[2].split(",")) if len(sys.argv) > 2 else (
+        "ungated", "gated", "auto")
+    main(it, arms)
