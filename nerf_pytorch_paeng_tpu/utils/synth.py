@@ -336,6 +336,79 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
     return params, float(loss)
 
 
+def make_forward_scene(n_views: int = 20, H: int = 378, W: int = 504,
+                       dist: float = 4.0, spread: float = 0.6,
+                       n_samples: int = 256
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray]:
+    """Forward-facing capture of the blob (the LLFF geometry): cameras on
+    a jittered plane at ``z ~ dist``, all looking at the origin (mild
+    toe-in, like a handheld LLFF capture).  Returns
+    (images [N,H,W,3], K [3,3], poses [N,4,4] standard c2w, bounds [N,2]
+    per-view [near, far] content depth — what COLMAP's depth percentiles
+    provide for real scenes, reference dataset/colmap/pose_utils.py).
+    """
+    focal = 0.9 * W
+    K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]],
+                 np.float32)
+    rng = np.random.default_rng(11)
+    cutoff = 1.8                       # default blob support (see _density)
+    poses, imgs, bounds = [], [], []
+    for i in range(n_views):
+        center = np.array([rng.uniform(-spread, spread),
+                           rng.uniform(-spread, spread),
+                           dist + rng.uniform(-0.15, 0.15)])
+        z = center / np.linalg.norm(center)          # back axis (look at 0)
+        up = np.array([0.0, 1.0, 0.0])
+        x = np.cross(up, z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, center
+        d = float(np.linalg.norm(center))
+        nf = (max(d - cutoff - 0.2, 0.5), d + cutoff + 0.2)
+        imgs.append(render_gt(H, W, K, c2w, nf[0], nf[1],
+                              n_samples=n_samples))
+        poses.append(c2w)
+        bounds.append(nf)
+    return (np.stack(imgs), K, np.stack(poses),
+            np.asarray(bounds, np.float32))
+
+
+def save_as_llff_dataset(root: str, n_views: int = 20, H: int = 378,
+                         W: int = 504, n_samples: int = 256) -> None:
+    """Write the forward-facing synthetic scene to disk in the LLFF layout
+    (``images/`` + ``poses_bounds.npy``) so the full llff CLI pipeline —
+    loader axis fix, recenter, bound rescale, NDC projection, spiral
+    render path — runs on it (reference dataset/load_llff.py:272-353).
+
+    poses_bounds rows: flattened 3x5 [down|right|back|t|hwf] matrix + the
+    per-view [near, far] content depths, row i paired with the i-th image
+    in sorted filename order (the COLMAP-bridge contract,
+    data/colmap/poses.py)."""
+    import os
+
+    import imageio.v2 as imageio
+
+    imgs, K, poses, bounds = make_forward_scene(
+        n_views=n_views, H=H, W=W, n_samples=n_samples)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    rows = []
+    for i in range(n_views):
+        imageio.imwrite(os.path.join(root, "images", f"{i:03d}.png"),
+                        (np.clip(imgs[i], 0, 1) * 255).astype(np.uint8))
+        c2w = poses[i]
+        # LLFF on-disk axis convention [down, right, back] (the loader
+        # inverts this: data/llff.py axis fix)
+        llff_pose = np.concatenate(
+            [-c2w[:3, 1:2], c2w[:3, 0:1], c2w[:3, 2:4]], 1)
+        hwf = np.array([H, W, float(K[0, 0])]).reshape(3, 1)
+        rows.append(np.concatenate(
+            [np.concatenate([llff_pose, hwf], 1).ravel(), bounds[i]], 0))
+    np.save(os.path.join(root, "poses_bounds.npy"),
+            np.asarray(rows, np.float64))
+
+
 def save_as_blender_dataset(root: str, n_train: int = 4, n_val: int = 1,
                             n_test: int = 2, H: int = 16, W: int = 16,
                             radius: float = 4.0) -> None:

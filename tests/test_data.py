@@ -235,6 +235,37 @@ def test_load_llff_minify(tmp_path):
     np.testing.assert_allclose(K[0, 0], 15.0 / 2, rtol=1e-6)
 
 
+def test_save_as_llff_dataset_roundtrip(tmp_path):
+    """The synthetic LLFF writer (utils/synth.save_as_llff_dataset, used
+    by tools/run_llff_scale.py) produces a capture the full loader stack
+    accepts, with consistent geometry: every pre-load camera looks at the
+    blob (the frame contains non-background content) and the loader's
+    recenter leaves the average pose at identity."""
+    from nerf_pytorch_paeng_tpu.data.llff import poses_avg
+    from nerf_pytorch_paeng_tpu.utils.synth import save_as_llff_dataset
+
+    base = str(tmp_path)
+    save_as_llff_dataset(base, n_views=6, H=24, W=32, n_samples=64)
+    images, (K, ext), (H, W), i_split, render_poses = load_llff(
+        base, downsample=0, testskip=4)
+    assert images.shape == (6, 24, 32, 3)
+    assert (H, W) == (24, 32)
+    assert ext.shape == (6, 3, 4)
+    assert render_poses.shape == (120, 3, 5)     # spiral path
+    i_train, i_val, i_test = i_split
+    assert list(i_test) == [0, 4]
+    # white background + blob content in every view (look-at geometry)
+    nonwhite = (images < 0.95).any(-1).mean(axis=(1, 2))
+    assert (nonwhite > 0.2).all() and (nonwhite < 0.95).all()
+    assert images.max() > 0.999                  # background present
+    # recentered: average pose ~ identity (loader contract)
+    hwf = np.broadcast_to(np.array([[H], [W], [K[0, 0]]], np.float32),
+                          (6, 3, 1))
+    avg = poses_avg(np.concatenate([ext, hwf], -1))
+    np.testing.assert_allclose(avg[:3, :3], np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(avg[:3, 3], 0, atol=1e-5)
+
+
 def test_spherify_path():
     from nerf_pytorch_paeng_tpu.data.llff import spherify_poses
     rng = np.random.default_rng(1)
