@@ -209,12 +209,23 @@ def bench_train_gated(n_steps: int = 60, reps: int = 3):
         ro, rd = ro.reshape(-1, 3)[idx], rd.reshape(-1, 3)[idx]
         rgb = jax.random.uniform(jax.random.PRNGKey(1), (cfg.N_rays, 3))
         bc, bf = prog(params)
+        # invalid bounds widen every interval to [near, far] — the "gated"
+        # number would silently measure ungated compute plus sort overhead
+        valid = bool(jax.device_get(bc[3])[0]) and bool(
+            jax.device_get(bf[3])[0])
+        if not valid:
+            raise RuntimeError(
+                f"gated train [{name}]: support bounds invalid — the "
+                "distilled scene is not globally compact; gated timing "
+                "would be meaningless")
         support = (tuple(bc), tuple(bf))
         state0 = TrainState(jnp.zeros((), jnp.int32), params,
                             jax.jit(tx.init)(params))
         _note(f"gated train [{name}]: compiling/warming...")
         st, m = step_g(state0, ro, rd, rgb, key, support)
         _sync(m["loss"])
+        out[f"{name}_gate_frac"] = round(float(jax.device_get(
+            m["gate_frac"])), 3)
         times = []
         for _ in range(reps):
             st = state0
@@ -321,7 +332,9 @@ def main():
             gated["hard"] * 1e3, 2)
         extras["train_gated_hard_rays_per_sec"] = round(
             4096 / gated["hard"], 1)
+        extras["train_gated_hard_gate_frac"] = gated["hard_gate_frac"]
         extras["train_gated_std_ms_per_step"] = round(gated["std"] * 1e3, 2)
+        extras["train_gated_std_gate_frac"] = gated["std_gate_frac"]
     except Exception as e:
         extras["train_gated_hard_ms_per_step"] = f"failed: {type(e).__name__}"
     result = {

@@ -286,7 +286,9 @@ class NerfConfig:
             "y", "n", "0", "1"), self.render_precull
         assert self.N_samples_c > 0
         assert self.iter_warmup < self.iter_N + 1
-        assert self.train_precull_tile % 128 == 0, self.train_precull_tile
+        assert (self.train_precull_tile >= 0
+                and self.train_precull_tile % 128 == 0), \
+            self.train_precull_tile
         return self
 
 

@@ -199,6 +199,10 @@ def main_worker(cfg: NerfConfig) -> None:
         ray_pool = RayPool(pool, jax.random.fold_in(key, 17))
         step_raw = make_train_step_for_mesh(
             model, tx, cfg, mesh, H, W, float(K[0][0]), precull=precull_on)
+        # the builder states whether it actually built the gated (6-arg)
+        # step; drift between its path choice and train_precull_active
+        # must fail here, not as a mid-run trace error
+        assert getattr(step_raw, "gated", False) == precull_on
 
         # slice the batch from the device-resident pool INSIDE the jitted
         # step: eager slicing + device_put cost ~10 tunnel dispatches
@@ -229,6 +233,7 @@ def main_worker(cfg: NerfConfig) -> None:
         step_raw = make_image_train_step_for_mesh(model, tx, cfg, mesh,
                                                   H, W, K,
                                                   precull=precull_on)
+        assert getattr(step_raw, "gated", False) == precull_on
         images_dev = commit_replicated(jnp.asarray(images), mesh)
         poses_dev = commit_replicated(
             jnp.asarray(extrinsics)[:, :3, :4], mesh)

@@ -73,8 +73,8 @@ from ..ops.occupancy import (ray_hits_bounds, ray_support_interval,
                              segment_in_cube, support_bounds_from_sigma)
 from ..ops.rays import get_rays
 from ..ops.render import (_pallas_interpret, hierarchical_fine_pass,
-                          hierarchical_z_vals, truncation_bounds,
-                          truncation_window,
+                          hierarchical_z_vals, span_sort, tile_row_gate,
+                          truncation_bounds, truncation_window,
                           make_pallas_field_fns,
                           make_pallas_sigma_fn, make_xla_field_fns,
                           maybe_ndc, render_rays_from_cfg)
@@ -195,16 +195,10 @@ def _gated_sigma_t(packed_coarse, rays_o, rays_d, z_vals, pc, tile, pm,
     row_lo, row_hi = _row_envelopes(near, far, s, _GATE_S_ROWS)
     act = ((t_lo[:, None] <= row_hi[None])
            & (t_hi[:, None] >= row_lo[None]))        # [m, n_rows]
-    # sort by (first, last) active row so tiles share spans; empty spans
-    # (provable misses) sort last — the whole-ray cull falls out for free
-    any_act = jnp.any(act, 1)
-    first = jnp.argmax(act, 1)
-    last = (n_rows - 1) - jnp.argmax(act[:, ::-1], 1)
-    span_key = jnp.where(any_act, first * (n_rows + 1) + last,
-                         n_rows * (n_rows + 2))
-    order0 = jnp.argsort(span_key)                    # stable
-    inv0 = jnp.zeros((m,), jnp.int32).at[order0].set(
-        jnp.arange(m, dtype=jnp.int32))
+    # span sort + per-(tile, row) gate: the one shared implementation of
+    # the gate contract (ops/render.span_sort / tile_row_gate) — empty
+    # spans (provable misses) sort last, so whole-ray culling falls out
+    order0, inv0 = span_sort(act)
     od_s = _pack_od(rays_o, rays_d)[:, order0]
     z_s = z_vals.T[:, order0]
     od_p, z_p = _pad_rays_z(od_s, z_s, pm)
@@ -212,11 +206,11 @@ def _gated_sigma_t(packed_coarse, rays_o, rays_d, z_vals, pc, tile, pm,
     if pm != m:                                       # padding rays: gated
         act_s = jnp.concatenate(
             [act_s, jnp.zeros((pm - m, n_rows), bool)], 0)
-    gate = jnp.any(act_s.reshape(pm // tile, tile, n_rows), 1)
+    gate, _ = tile_row_gate(act_s, tile)
     sigma_s = fused_mlp_sigma_rays(
         od_p, z_p, packed_coarse, L_x=L_x, tile_rays=tile,
         s_rows=_GATE_S_ROWS, interpret=interpret, out_dtype=jnp.bfloat16,
-        gate=gate.reshape(-1).astype(jnp.int32))[:, :m]
+        gate=gate)[:, :m]
     return sigma_s[:, inv0]
 
 

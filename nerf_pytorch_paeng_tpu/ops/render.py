@@ -189,18 +189,61 @@ def train_gate_tile(cfg, n: int, base_tile: int) -> int:
     640k-ray frames get this for free); cfg.train_precull_tile overrides
     (0 = auto, 512 measured best on v5e — see docs/STATUS_ROUND3.md)."""
     gt = int(getattr(cfg, "train_precull_tile", 0))
-    tile = gt or min(base_tile, 512)
-    while tile > 128 and n % tile:
-        tile //= 2
-    return tile
+    want = max(128, min(gt or min(base_tile, 512), n))
+    # largest 128-multiple divisor of n that is <= the requested tile:
+    # the gated kernels require tile % 128 == 0 AND n % tile == 0, and a
+    # user tile like 384 satisfies neither after naive halving
+    for tile in range(want - want % 128, 127, -128):
+        if n % tile == 0:
+            return tile
+    return 128
+
+
+def span_sort(act):
+    """Sort rays by their (first, last) active-row span so kernel
+    ray-tiles share spans; span-empty rays (provable misses — every
+    sample row inactive) sort last and gate whole tiles.
+
+    act [N, R] bool (ray-major row activity) -> (order [N], inv [N])
+    with ``inv`` the inverse permutation (argsort is stable, so the plan
+    is deterministic).  THE single implementation of the span-key
+    ordering both gated paths use — the gated kernels' flattened-gate
+    indexing contract (see tile_row_gate) must match it exactly.
+    """
+    n, n_rows = act.shape
+    any_act = act.any(1)
+    first = jnp.argmax(act, 1)
+    last = (n_rows - 1) - jnp.argmax(act[:, ::-1], 1)
+    span_key = jnp.where(any_act, first * (n_rows + 1) + last,
+                         n_rows * (n_rows + 2))
+    order = jnp.argsort(span_key)                             # stable
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return order, inv
+
+
+def tile_row_gate(act_sorted, tile: int):
+    """Per-(ray-tile, sample-row) gate over span-sorted (and, for eval,
+    pad-extended) row activity: a grid step runs iff ANY ray in its tile
+    is active in its row.
+
+    act_sorted [N, R] bool -> (gate [(N//tile)*R] int32, gate_frac
+    scalar).  The flattening is tile-major — gate[t * R + r] — exactly
+    the ``gate_ref[pid0 * n_rows + pid1]`` lookup of the gated kernels
+    (kernels/fused_mlp._sigma_rays_kernel_gated and the gated custom-VJP
+    pair); this helper is the only place that contract is encoded.
+    """
+    n, n_rows = act_sorted.shape
+    gate = act_sorted.reshape(n // tile, tile, n_rows).any(1)  # [T, R]
+    gate = gate.reshape(-1).astype(jnp.int32)
+    gate_frac = 1.0 - jnp.mean(gate.astype(jnp.float32))
+    return gate, gate_frac
 
 
 def train_gate_plan(zs, t_lo, t_hi, tile: int):
     """Span-sorted (ray-tile, 8-sample-row) gate plan for one gated
-    training pass: rays sorted by their (first, last) active-row span so
-    tiles share spans (the eval pre-cull's trick,
-    eval/frame._gated_sigma_t); span-empty rays (provable misses — every
-    sample outside support) sort last and gate whole rows.
+    training pass (span_sort + tile_row_gate over the samples' row
+    activity against the module's support interval).
 
     zs [S, N] (S % 8 == 0) sample depths, [t_lo, t_hi] [N] the module's
     conservative support interval.  Returns (order [N], inv [N],
@@ -210,18 +253,9 @@ def train_gate_plan(zs, t_lo, t_hi, tile: int):
     s, n = zs.shape
     n_rows = s // 8
     act = (zs >= t_lo[None]) & (zs <= t_hi[None])             # [S, N]
-    act_r = act.reshape(n_rows, 8, n).any(1)                  # [R, N]
-    any_act = act_r.any(0)
-    first = jnp.argmax(act_r, 0)
-    last = (n_rows - 1) - jnp.argmax(act_r[::-1], 0)
-    span_key = jnp.where(any_act, first * (n_rows + 1) + last,
-                         n_rows * (n_rows + 2))
-    order = jnp.argsort(span_key)                             # stable
-    inv = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32))
-    gate = act_r[:, order].reshape(n_rows, n // tile, tile).any(-1)
-    gate = gate.T.reshape(-1).astype(jnp.int32)               # [(tiles)*R]
-    gate_frac = 1.0 - jnp.mean(gate.astype(jnp.float32))
+    act_r = act.reshape(n_rows, 8, n).any(1).T                # [N, R]
+    order, inv = span_sort(act_r)
+    gate, gate_frac = tile_row_gate(act_r[order], tile)
     return order, inv, gate, gate_frac
 
 

@@ -160,7 +160,9 @@ def make_shardmap_train_step(axis_step, mesh: Mesh, precull: bool = False):
         out_specs=(state_spec, state_spec),
         check_vma=False,
     )
-    return jax.jit(step, donate_argnums=(0,))
+    step = jax.jit(step, donate_argnums=(0,))
+    step.gated = bool(precull)
+    return step
 
 
 def make_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
@@ -171,8 +173,11 @@ def make_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
 
     ``precull`` (cfg.train_precull) applies only where the gated kernels
     run — the shard_map/single-device Pallas paths; the GSPMD fallback
-    ignores it (the caller checks train_precull_enabled, which mirrors
-    this gate)."""
+    ignores it.  The returned step carries a ``gated`` attribute stating
+    whether it actually takes the trailing support argument — the driver
+    asserts it against train_precull_active, so predicate drift between
+    this builder and train/precull.py fails loudly at startup instead of
+    mid-run."""
     from ..train.step import _supports_pallas_train, make_train_step
 
     n_model = dict(mesh.shape).get(MODEL_AXIS, 1)
@@ -188,13 +193,17 @@ def make_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
         # gated single-device step (the GSPMD wrapper below has the 5-arg
         # signature; gating needs the trailing support arg)
         step = make_train_step(model, tx, cfg, H, W, focal, precull=True)
-        return jax.jit(step, donate_argnums=(0,))
+        step = jax.jit(step, donate_argnums=(0,))
+        step.gated = True
+        return step
     # GSPMD path: pallas_call cannot be partitioned by GSPMD, so on a
     # >1-device mesh (TP, or mixed shapes) the field functions must be the
     # XLA ones even when the fused kernels would apply on one device.
     force_xla = _supports_pallas_train(cfg) and n_model * n_data > 1
     step = make_train_step(model, tx, cfg, H, W, focal, force_xla=force_xla)
-    return make_sharded_train_step(step, mesh)
+    step = make_sharded_train_step(step, mesh)
+    step.gated = False
+    return step
 
 
 def make_image_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
@@ -224,8 +233,10 @@ def make_image_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
     n_model = shape.get(MODEL_AXIS, 1)
     n_devices = n_model * shape.get(DATA_AXIS, 1)
     if n_devices == 1:
-        return make_image_train_step(model, tx, cfg, H, W, K,
+        step = make_image_train_step(model, tx, cfg, H, W, K,
                                      precull=precull)
+        step.gated = bool(precull)
+        return step
 
     # The shard_map path slices N_rays/n_devices pixels per shard, so it
     # needs exact divisibility; a mesh that doesn't divide (e.g. 6 devices
@@ -256,14 +267,17 @@ def make_image_train_step_for_mesh(model, tx, cfg, mesh: Mesh,
             def step(state, image, pose, key, precrop: bool = False):
                 return variants[bool(precrop)](state, image, pose, key)
 
+        step.gated = bool(precull)
         return step
 
     # GSPMD: slice the gathered pixel batch over the data axis; force the
     # XLA field functions (pallas_call cannot be partitioned by GSPMD)
     bc = NamedSharding(mesh, P(DATA_AXIS))
-    return make_image_train_step(model, tx, cfg, H, W, K,
+    step = make_image_train_step(model, tx, cfg, H, W, K,
                                  force_xla=_supports_pallas_train(cfg),
                                  batch_constraint=bc)
+    step.gated = False
+    return step
 
 
 def make_sharded_render(render_fn, mesh: Mesh):

@@ -498,6 +498,26 @@ def test_gate_frac_estimator(compact_model):
     assert float(est(inval, inval, ro, rd)) == 0.0
 
 
+def test_train_gate_tile_divisor():
+    """The gated kernels require tile % 128 == 0 AND n % tile == 0; a
+    config-validated override like 384 satisfies neither after naive
+    halving (384 -> 192 -> 96) — the tile picker must return the largest
+    conforming divisor instead of crashing the step at trace time."""
+    from nerf_pytorch_paeng_tpu.ops.render import train_gate_tile
+
+    for req, n, want in ((384, 4096, 256), (640, 4096, 512),
+                         (512, 4096, 512), (0, 4096, 512),
+                         (512, 256, 256), (2048, 384, 384),
+                         (128, 4096, 128), (512, 640, 128)):
+        got = train_gate_tile(_cfg(train_precull_tile=req), n, 2048)
+        assert got == want, (req, n, got, want)
+        assert got % 128 == 0 and n % got == 0
+
+    # negative overrides no longer pass config validation
+    with pytest.raises(AssertionError):
+        _cfg(train_precull_tile=-128).validate()
+
+
 def test_train_precull_enabled_gates():
     from nerf_pytorch_paeng_tpu.train.precull import train_precull_enabled
 
