@@ -14,6 +14,7 @@ every ray every step); this is the TPU framework's opt-in speed feature,
 so the tests pin it against the reference-parity ungated step.
 """
 import dataclasses
+import os
 
 import jax
 import jax.flatten_util
@@ -496,6 +497,54 @@ def test_gate_frac_estimator(compact_model):
     inval = (support[0][0], support[0][1], support[0][2],
              jnp.asarray([False]))
     assert float(est(inval, inval, ro, rd)) == 0.0
+
+
+def test_driver_gating_policy(tmp_path, compact_model, capsys):
+    """Driver-level policy loop (driver.py refresh_support): training
+    from scratch the support bounds are invalid (random-init density
+    everywhere) -> the loop declares UNGATED and completes; resumed from
+    a distilled checkpoint (valid compact bounds) with min_gate 0 the
+    refresh flips to GATED and the gated chunked loop trains through.
+    This drives the policy in the real CLI loop — the step/kernel-level
+    guarantees are pinned by the tests above."""
+    import dataclasses
+
+    from nerf_pytorch_paeng_tpu.driver import main_worker
+    from nerf_pytorch_paeng_tpu.train.checkpoint import save_checkpoint
+    from nerf_pytorch_paeng_tpu.train.state import (TrainState,
+                                                    make_optimizer)
+    from nerf_pytorch_paeng_tpu.utils.synth import save_as_blender_dataset
+
+    cfg0, model, params = compact_model
+    root = str(tmp_path / "data")
+    save_as_blender_dataset(root, n_train=3, n_val=1, n_test=1, H=16, W=16)
+    cfg = dataclasses.replace(
+        cfg0, data_type="blender", data_root=root, data_name="synth",
+        exp_name="gated_scratch", log_dir=str(tmp_path / "logs"),
+        bkg_white=True, global_batch=True, n_data_shards=1,
+        iter_N=12, iter_warmup=2, idx_save=12, idx_test=0, idx_render=0,
+        idx_print=0, idx_vis=0, scan_chunk=4,
+        train_precull_every=4, train_precull_min_gate=0.0)
+
+    main_worker(cfg)
+    out = capsys.readouterr().out
+    assert ">> train_precull -> ungated (bounds invalid)" in out
+    assert os.path.isdir(os.path.join(cfg.logdir, "gated_scratch",
+                                      "gated_scratch_12.ckpt"))
+
+    # resume from a distilled checkpoint: valid bounds + min_gate 0 ->
+    # the first refresh flips GATED and the gated loop runs to iter_N
+    tx = make_optimizer(cfg)
+    state = TrainState(jnp.asarray(12, jnp.int32), params,
+                       jax.jit(tx.init)(params))
+    cfg2 = dataclasses.replace(cfg, exp_name="gated_resume",
+                               iter_start=12, iter_N=24, idx_save=24)
+    save_checkpoint(cfg2.logdir, "gated_resume", state)
+    main_worker(cfg2)
+    out = capsys.readouterr().out
+    assert ">> train_precull -> GATED" in out
+    assert os.path.isdir(os.path.join(cfg2.logdir, "gated_resume",
+                                      "gated_resume_24.ckpt"))
 
 
 def test_train_gate_tile_divisor():
