@@ -61,9 +61,14 @@ def compute_ssim(pred: jnp.ndarray, gt: jnp.ndarray, size: int = 11,
     bound = jnp.sqrt(sigma_p * sigma_g)
     sigma_pg = jnp.clip(sigma_pg, -bound, bound)
 
-    num = (2 * mu_pg + c1) * (2 * sigma_pg + c2)
-    den = (mu_pp + mu_gg + c1) * (sigma_p + sigma_g + c2)
-    return jnp.mean(num / den)
+    # IQA_pytorch convention (the reference's published-SSIM path,
+    # utils.py:22-26): luminance term times a relu'd contrast-structure
+    # term — cs is forced non-negative, which matters on anticorrelated
+    # windows (golden-tested vs a torch-functional IQA oracle in
+    # tests/test_eval.py).
+    lum = (2 * mu_pg + c1) / (mu_pp + mu_gg + c1)
+    cs = jnp.maximum((2 * sigma_pg + c2) / (sigma_p + sigma_g + c2), 0.0)
+    return jnp.mean(lum * cs)
 
 
 # ----------------------------------------------------------------- LPIPS --

@@ -64,6 +64,10 @@ def run_render(idx: int, model, params, K, hw, cfg,
         disps[i] = disp_norm
         if verbose:
             print(f"render view {i}/{len(poses)}")
+        # single_angle stills are written TWICE (named + {i}_rgb.png) on
+        # purpose: the reference does exactly that (test.py:160-163; its
+        # unnamed copy is even written un-to8b'd — a float-image quirk we
+        # do not reproduce).  Keep the duplicate for output-layout parity.
         if cfg.single_angle != -1:
             submit(imageio.imwrite,
                    os.path.join(save_dir,

@@ -45,23 +45,34 @@ def _density(pts: np.ndarray, amp: float = 8.0, r: float = 0.6,
     return amp * np.maximum(np.exp(-d2) - floor, 0.0)
 
 
-def _color(pts: np.ndarray) -> np.ndarray:
+def _color(pts: np.ndarray, freq: float = 2.0,
+           phase: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+           ) -> np.ndarray:
     # smooth position-dependent color in (0,1)
     return 0.5 + 0.4 * np.stack(
-        [np.sin(2.0 * pts[..., 0]), np.sin(2.0 * pts[..., 1]),
-         np.sin(2.0 * pts[..., 2])], -1)
+        [np.sin(freq * pts[..., 0] + phase[0]),
+         np.sin(freq * pts[..., 1] + phase[1]),
+         np.sin(freq * pts[..., 2] + phase[2])], -1)
 
 
 def render_gt(H: int, W: int, K: np.ndarray, c2w: np.ndarray,
               near: float, far: float, n_samples: int = 128,
-              amp: float = 8.0) -> np.ndarray:
+              amp: float = 8.0, blob: dict | None = None) -> np.ndarray:
     """Analytically volume-render the blob for one camera. [H, W, 3].
 
     ``amp`` is the blob's peak density: 8.0 is the soft default scene;
     large values (e.g. 60) give a hard, surface-like opacity front the
     way real 200k-iter photometric training does — used by the sample-
     truncation tests, whose mechanism only engages when per-ray
-    transmittance actually collapses."""
+    transmittance actually collapses.
+
+    ``blob`` optionally overrides the scene content — keys ``amp``, ``r``,
+    ``cutoff`` (density shape) and ``color_freq``, ``color_phase`` — so
+    the 16-config benchmark sweep gets a *distinct* stand-in scene per
+    config (tools/run_sweep.py) while every default stays bit-identical
+    to the round-3 scenes."""
+    blob = blob or {}
+    amp = blob.get("amp", amp)
     i, j = np.meshgrid(np.arange(W, dtype=np.float32),
                        np.arange(H, dtype=np.float32), indexing="xy")
     dirs = np.stack([(i - K[0, 2]) / K[0, 0], -(j - K[1, 2]) / K[1, 1],
@@ -71,8 +82,10 @@ def render_gt(H: int, W: int, K: np.ndarray, c2w: np.ndarray,
 
     t = np.linspace(near, far, n_samples, dtype=np.float32)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
-    sigma = _density(pts, amp=amp)
-    rgb = _color(pts)
+    sigma = _density(pts, amp=amp, r=blob.get("r", 0.6),
+                     cutoff=blob.get("cutoff", 1.8))
+    rgb = _color(pts, freq=blob.get("color_freq", 2.0),
+                 phase=blob.get("color_phase", (0.0, 0.0, 0.0)))
 
     dists = np.diff(t)
     dists = np.concatenate([dists, [1e10]]).astype(np.float32)
@@ -87,7 +100,8 @@ def render_gt(H: int, W: int, K: np.ndarray, c2w: np.ndarray,
 
 
 def make_synth_scene(n_views: int = 8, H: int = 32, W: int = 32,
-                     radius: float = 4.0, near: float = 2.0, far: float = 6.0
+                     radius: float = 4.0, near: float = 2.0, far: float = 6.0,
+                     blob: dict | None = None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (images [N,H,W,3], K [3,3], poses [N,4,4])."""
     focal = 0.9 * W
@@ -95,7 +109,8 @@ def make_synth_scene(n_views: int = 8, H: int = 32, W: int = 32,
                  np.float32)
     thetas = np.linspace(0, 2 * np.pi, n_views, endpoint=False)
     poses = np.stack([orbit_pose(t, 0.35, radius) for t in thetas])
-    imgs = np.stack([render_gt(H, W, K, p, near, far) for p in poses])
+    imgs = np.stack([render_gt(H, W, K, p, near, far, blob=blob)
+                     for p in poses])
     return imgs, K, poses
 
 
@@ -338,7 +353,7 @@ def fit_field_to_blob(model, params, key, n_steps: int = 400,
 
 def make_forward_scene(n_views: int = 20, H: int = 378, W: int = 504,
                        dist: float = 4.0, spread: float = 0.6,
-                       n_samples: int = 256
+                       n_samples: int = 256, blob: dict | None = None
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                   np.ndarray]:
     """Forward-facing capture of the blob (the LLFF geometry): cameras on
@@ -352,7 +367,7 @@ def make_forward_scene(n_views: int = 20, H: int = 378, W: int = 504,
     K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]],
                  np.float32)
     rng = np.random.default_rng(11)
-    cutoff = 1.8                       # default blob support (see _density)
+    cutoff = (blob or {}).get("cutoff", 1.8)    # blob support (see _density)
     poses, imgs, bounds = [], [], []
     for i in range(n_views):
         center = np.array([rng.uniform(-spread, spread),
@@ -368,7 +383,7 @@ def make_forward_scene(n_views: int = 20, H: int = 378, W: int = 504,
         d = float(np.linalg.norm(center))
         nf = (max(d - cutoff - 0.2, 0.5), d + cutoff + 0.2)
         imgs.append(render_gt(H, W, K, c2w, nf[0], nf[1],
-                              n_samples=n_samples))
+                              n_samples=n_samples, blob=blob))
         poses.append(c2w)
         bounds.append(nf)
     return (np.stack(imgs), K, np.stack(poses),
@@ -376,7 +391,8 @@ def make_forward_scene(n_views: int = 20, H: int = 378, W: int = 504,
 
 
 def save_as_llff_dataset(root: str, n_views: int = 20, H: int = 378,
-                         W: int = 504, n_samples: int = 256) -> None:
+                         W: int = 504, n_samples: int = 256,
+                         blob: dict | None = None) -> None:
     """Write the forward-facing synthetic scene to disk in the LLFF layout
     (``images/`` + ``poses_bounds.npy``) so the full llff CLI pipeline —
     loader axis fix, recenter, bound rescale, NDC projection, spiral
@@ -391,7 +407,7 @@ def save_as_llff_dataset(root: str, n_views: int = 20, H: int = 378,
     import imageio.v2 as imageio
 
     imgs, K, poses, bounds = make_forward_scene(
-        n_views=n_views, H=H, W=W, n_samples=n_samples)
+        n_views=n_views, H=H, W=W, n_samples=n_samples, blob=blob)
     os.makedirs(os.path.join(root, "images"), exist_ok=True)
     rows = []
     for i in range(n_views):
@@ -411,7 +427,8 @@ def save_as_llff_dataset(root: str, n_views: int = 20, H: int = 378,
 
 def save_as_blender_dataset(root: str, n_train: int = 4, n_val: int = 1,
                             n_test: int = 2, H: int = 16, W: int = 16,
-                            radius: float = 4.0) -> None:
+                            radius: float = 4.0,
+                            blob: dict | None = None) -> None:
     """Write the synthetic scene to disk in the blender transforms_*.json
     format so the full CLI pipeline (loader included) can run on it."""
     import json
@@ -420,7 +437,8 @@ def save_as_blender_dataset(root: str, n_train: int = 4, n_val: int = 1,
     import imageio.v2 as imageio
 
     n = n_train + n_val + n_test
-    imgs, K, poses = make_synth_scene(n_views=n, H=H, W=W, radius=radius)
+    imgs, K, poses = make_synth_scene(n_views=n, H=H, W=W, radius=radius,
+                                      blob=blob)
     focal = float(K[0, 0])
     camera_angle_x = 2.0 * float(np.arctan(W / (2.0 * focal)))
     # interleave the splits around the orbit so held-out views sit between

@@ -190,6 +190,75 @@ def test_ssim_golden_vs_scipy_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def _ssim_iqa_torch_oracle(pred, gt):
+    """Independent torch-functional SSIM implementing IQA_pytorch's exact
+    algorithm (the reference's published-SSIM path, utils.py:22-26):
+    fspecial_gauss(11, 1.5) window, depthwise conv2d padding=0,
+    C1=0.01^2 C2=0.03^2, luminance * relu(contrast-structure), mean.
+    Shares no code with the JAX implementation."""
+    import torch
+    import torch.nn.functional as F
+
+    size, sigma, channels = 11, 1.5, pred.shape[-1]
+    # fspecial_gauss: mgrid[-size//2+1 : size//2+1] -> -5..5 for size=11
+    x, y = np.mgrid[-(size // 2): size // 2 + 1,
+                    -(size // 2): size // 2 + 1]
+    g = np.exp(-((x ** 2 + y ** 2) / (2.0 * sigma ** 2)))
+    win = torch.from_numpy((g / g.sum()).astype(np.float64))
+    win = win[None, None].repeat(channels, 1, 1, 1)           # [C,1,k,k]
+
+    def t(img):                                               # HWC -> NCHW
+        return torch.from_numpy(
+            np.transpose(img, (2, 0, 1))[None].astype(np.float64))
+
+    def filt(img):
+        return F.conv2d(img, win, stride=1, padding=0, groups=channels)
+
+    X, Y = t(pred), t(gt)
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    mu1, mu2 = filt(X), filt(Y)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    sigma1_sq = filt(X * X) - mu1_sq
+    sigma2_sq = filt(Y * Y) - mu2_sq
+    sigma12 = filt(X * Y) - mu1_mu2
+    cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
+    cs_map = F.relu(cs_map)
+    ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
+    return float(ssim_map.mean())
+
+
+def test_ssim_golden_vs_iqa_torch_oracle():
+    """compute_ssim against the torch-functional IQA_pytorch oracle on a
+    realistic structured pair (the published-number regime) — rtol 1e-5
+    so a window/padding/covariance-convention mismatch fails loudly
+    (VERDICT r3 next-round #3)."""
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:40, 0:40] / 40.0
+    base = np.stack([np.sin(9 * xx) * 0.3 + 0.5,
+                     np.cos(5 * yy) * 0.4 + 0.5,
+                     (xx * yy) ** 0.5], -1).astype(np.float32)
+    noisy = np.clip(base + 0.05 * rng.normal(size=base.shape), 0, 1
+                    ).astype(np.float32)
+    want = _ssim_iqa_torch_oracle(base, noisy)
+    got = float(compute_ssim(jnp.asarray(base), jnp.asarray(noisy)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ssim_iqa_relu_convention_on_anticorrelated():
+    """Pin IQA's relu(cs) convention where it actually bites: an
+    anticorrelated pair (inverted structure) has negative-covariance
+    windows whose cs term IQA clamps to zero — a plain product formula
+    diverges here by far more than the tolerance."""
+    yy, xx = np.mgrid[0:40, 0:40] / 40.0
+    a = np.stack([np.sin(20 * xx) * 0.45 + 0.5] * 3, -1).astype(np.float32)
+    b = (1.0 - a).astype(np.float32)                 # strongly anticorrelated
+    want = _ssim_iqa_torch_oracle(a, b)
+    got = float(compute_ssim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # sanity: the relu really engaged (cs<0 windows exist)
+    assert want < 0.5
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = NerfConfig(netDepth=2, netWidth=16, L_x=2, L_d=1,
                      iter_N=100, iter_warmup=5)
