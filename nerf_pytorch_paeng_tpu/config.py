@@ -207,6 +207,21 @@ class NerfConfig:
     render_precull: str = "auto"
     render_precull_grid: int = 0
     render_precull_halfside: float = 0.0
+    # FINE-phase row gating inside the culled renderer (eval/frame.py
+    # _gated_fine_rays): the FINE module's own support bounds (the coarse
+    # and fine MLPs are independent networks, so each needs its own grid
+    # estimate) gate the phase-2 fine kernel at (ray-tile, 8-sample-row)
+    # granularity — row activity computed from the actual hierarchical
+    # (truncated) sample depths against each ray's conservative support
+    # interval, span-sorted like the coarse pre-cull.  Cuts the fine rows
+    # the quantized truncation classes cannot (e.g. empty depth rows
+    # before a hard front inside a 0.75*S window).  Same trust model and
+    # safety rails as render_precull (gated-off samples provably carry
+    # <= 0 density logits -> identical zero compositing weights; rays
+    # leaving the estimation cube are exempt; invalid bounds fall back to
+    # the ungated phase-2 programs).  blender + rays-kernel path only;
+    # "auto" (default) = on where those preconditions hold.
+    render_gate_fine: str = "auto"
     # occupancy-gated TRAINING (train/precull.py + the gated custom-VJP
     # kernel pair): conservative support bounds of EACH module's density
     # field (the coarse and fine MLPs are independent networks, so each
@@ -284,6 +299,9 @@ class NerfConfig:
         assert str(self.render_precull).lower() in (
             "auto", "on", "off", "true", "false", "t", "f", "yes", "no",
             "y", "n", "0", "1"), self.render_precull
+        assert str(self.render_gate_fine).lower() in (
+            "auto", "on", "off", "true", "false", "t", "f", "yes", "no",
+            "y", "n", "0", "1"), self.render_gate_fine
         assert self.N_samples_c > 0
         assert self.iter_warmup < self.iter_N + 1
         assert (self.train_precull_tile >= 0

@@ -167,8 +167,17 @@ def main_worker(cfg: NerfConfig) -> None:
         est_o = jnp.asarray(np.concatenate(eo)[:n_est])
         est_d = jnp.asarray(np.concatenate(ed)[:n_est])
         gated_now = [None]   # None -> the first refresh always prints
+        # per-refresh decision log (iter, bounds_valid, predicted
+        # gate_frac, gated) — the policy trajectory evidence long runs
+        # harvest (tools/run_gated_policy.py)
+        policy_path = os.path.join(cfg.logdir, cfg.exp_name,
+                                   "precull_policy.csv")
+        os.makedirs(os.path.dirname(policy_path), exist_ok=True)
+        if not os.path.isfile(policy_path):
+            with open(policy_path, "w") as pf:
+                pf.write("iter,bounds_valid,gate_frac_pred,gated\n")
 
-        def refresh_support(params):
+        def refresh_support(params, it: int):
             bc, bf = support_prog(params)
             # one host read per refresh: while the bounds are invalid
             # (early training, fog everywhere) or the predicted gate
@@ -178,12 +187,15 @@ def main_worker(cfg: NerfConfig) -> None:
             vc, vf, gfh = jax.device_get((bc[3], bf[3], gf))
             valid = bool(vc[0]) and bool(vf[0])
             on = valid and float(gfh) >= cfg.train_precull_min_gate
+            with open(policy_path, "a") as pf:
+                pf.write(f"{it},{int(valid)},{float(gfh):.4f},{int(on)}\n")
             if on != gated_now[0]:
                 gated_now[0] = on
                 why = (f"predicted gate_frac {float(gfh):.3f}" if valid
                        else "bounds invalid")
                 print(f">> train_precull -> "
-                      f"{'GATED' if on else 'ungated'} ({why})")
+                      f"{'GATED' if on else 'ungated'} ({why}) "
+                      f"@ iter {it}")
             if not on:
                 return None
             return commit_replicated((tuple(bc), tuple(bf)), mesh)
@@ -328,7 +340,7 @@ def main_worker(cfg: NerfConfig) -> None:
     next_refresh = i  # first train_precull bounds measure before step 1
     while i <= cfg.iter_N:
         if precull_on and i >= next_refresh:
-            support = refresh_support(state.params)
+            support = refresh_support(state.params, i)
             next_refresh = i + max(int(cfg.train_precull_every), 1)
         if cfg.profile and i == cfg.iter_start + 10:
             try:  # trace a few steady-state steps (SURVEY §5 observability)

@@ -214,6 +214,52 @@ def _gated_sigma_t(packed_coarse, rays_o, rays_d, z_vals, pc, tile, pm,
     return sigma_s[:, inv0]
 
 
+def _gated_fine_rays(packed_fine, rays_o, rays_d, z_all, fb, tile, pm,
+                     half, near, far, L_x, L_d, interpret):
+    """Fine-module MLP along rays with per-(ray-tile, 8-sample-row)
+    support gating — the phase-2 analog of _gated_sigma_t, attacking the
+    fine rows INSIDE each surviving ray's truncation window (the window
+    is a cumulative-mass bound on the coarse estimate; the FINE module's
+    own support bounds certify more rows, e.g. the empty depth rows
+    between near plane and a hard front that the quantized s_keep classes
+    cannot cut).  Unlike the coarse phase the depths are data-dependent
+    (hierarchical + truncated), so row activity comes from the actual
+    sample depths against the ray's conservative support interval, not
+    static row envelopes.  Same trust model and safety rails: a gated-off
+    sample provably carries a <= 0 density logit, so storing zeros yields
+    the identical zero compositing weight (relu), and rays whose segment
+    leaves the estimation cube are never gated.
+
+    z_all [m, S] merged fine depths; fb = the FINE module's
+    (lo, hi, radius, valid) bounds.  Returns (r, g, b, sigma) [S, m]
+    logits in the ORIGINAL ray order.
+    """
+    from ..kernels.fused_mlp import fused_mlp_eval_rays
+    m, s = z_all.shape
+    n_rows = s // _GATE_S_ROWS
+    t_lo, t_hi = ray_support_interval(rays_o, rays_d, *fb, near, far)
+    inside = segment_in_cube(rays_o, rays_d, half, near, far)
+    t_lo = jnp.where(inside, t_lo, near)
+    t_hi = jnp.where(inside, t_hi, far)
+    act = (z_all >= t_lo[:, None]) & (z_all <= t_hi[:, None])   # [m, S]
+    act = act.reshape(m, n_rows, _GATE_S_ROWS).any(-1)          # [m, R]
+    order0, inv0 = span_sort(act)
+    od_s = _pack_od(rays_o, rays_d)[:, order0]
+    z_s = z_all.T[:, order0]
+    od_p, z_p = _pad_rays_z(od_s, z_s, pm)
+    act_s = act[order0]
+    if pm != m:                                       # padding rays: gated
+        act_s = jnp.concatenate(
+            [act_s, jnp.zeros((pm - m, n_rows), bool)], 0)
+    gate, _ = tile_row_gate(act_s, tile)
+    r, g, b, sg = fused_mlp_eval_rays(
+        od_p, z_p, packed_fine, L_x=L_x, L_d=L_d, tile_rays=tile,
+        s_rows=_GATE_S_ROWS, interpret=interpret, out_dtype=jnp.bfloat16,
+        gate=gate)
+    return (r[:, :m][:, inv0], g[:, :m][:, inv0],
+            b[:, :m][:, inv0], sg[:, :m][:, inv0])
+
+
 def _shard_over_rays(body, mesh, n_ray_args: int, n_rep_args: int = 1):
     """shard_map ``body(params, *ray_args, key)`` with ray args split over
     every mesh axis and params/key replicated."""
@@ -294,6 +340,18 @@ def _use_precull(cfg) -> bool:
     return cfg.data_type == "blender" and _precull_grid(cfg) > 0
 
 
+def _use_gate_fine(cfg) -> bool:
+    """Fine-phase row gating by the FINE module's own support bounds
+    (cfg.render_gate_fine; _gated_fine_rays) — the culled renderer's
+    phase-2 counterpart of the dispatch-free coarse pre-cull.  Same
+    preconditions: blender origin-centered scenes and a usable support
+    grid; the rays-kernel requirement is checked by the caller."""
+    mode = str(getattr(cfg, "render_gate_fine", "auto")).lower()
+    if mode in ("off", "false", "f", "no", "n", "0"):
+        return False
+    return cfg.data_type == "blender" and _precull_grid(cfg) > 0
+
+
 def _precull_half(cfg) -> float:
     """Estimation-cube half-extent: cfg override, else ``far`` (contains
     blender-orbit sample segments — ops/occupancy.py half_side notes)."""
@@ -307,9 +365,11 @@ def _precull_half(cfg) -> float:
 _SUPPORT_PROGS: dict = {}
 
 
-def _support_for_eval(model, params, cfg):
-    """((lo, hi, radius, valid), valid_host) support bounds of the coarse
-    field.  The grid program is compiled once per config (cached on the
+def _support_for_eval(model, params, cfg, module: str = "coarse"):
+    """((lo, hi, radius, valid), valid_host) support bounds of one
+    module's density field (the coarse and fine MLPs are independent
+    networks — reference model/NeRF.py:55-66 — so each needs its own
+    bounds).  The grid program is compiled once per config (cached on the
     cfg scalars, like get_frame_renderer) and run once per params change
     (result cached by params identity, like _pack_for_eval); ``params``
     is the packed tree on the Pallas path and the raw flax tree on the
@@ -320,7 +380,7 @@ def _support_for_eval(model, params, cfg):
     half = _precull_half(cfg)
     grid = _precull_grid(cfg)
     use_pallas = _supports_pallas(cfg)
-    pk = (_cfg_cache_key(cfg), half, grid, use_pallas)
+    pk = (_cfg_cache_key(cfg), half, grid, use_pallas, module)
     ck = (id(params),) + pk
     hit = _SUPPORT_CACHE.get(ck)
     if hit is not None and hit[0] is params:
@@ -330,10 +390,11 @@ def _support_for_eval(model, params, cfg):
     if prog is None:
         def _prog(p):
             if use_pallas:
-                sigma_fn = make_pallas_sigma_fn(p["packed_coarse"], cfg)
+                sigma_fn = make_pallas_sigma_fn(p[f"packed_{module}"], cfg)
             else:
-                coarse_fn, _ = make_xla_field_fns(model, p, cfg)
-                sigma_fn = lambda xp: coarse_fn(xp, jnp.ones_like(xp))[3]
+                coarse_fn, fine_fn = make_xla_field_fns(model, p, cfg)
+                field = coarse_fn if module == "coarse" else fine_fn
+                sigma_fn = lambda xp: field(xp, jnp.ones_like(xp))[3]
             return support_bounds_from_sigma(sigma_fn, half, grid=grid)
 
         prog = jax.jit(_prog)
@@ -720,8 +781,10 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     # collapse each carry O(trunc_eps) mass on the coarse estimate, and
     # phase 1 routes into this program only rays whose window requirement
     # s_req <= s_keep.
+    _half_gf = _precull_half(cfg)
+
     def _fine_body(params, rays_o, rays_d, z_vals, weights, key, *,
-                   s_keep=None):
+                   s_keep=None, fb=None):
         if use_rays:
             from ..kernels.fused_mlp import fused_mlp_eval_rays
             m = rays_o.shape[0]
@@ -732,13 +795,20 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
                                           trunc_eps)
             z_t = z_all.T
             tile, pm = _rays_tiling(m)
-            od, z_p = _pad_rays_z(_pack_od(rays_o, rays_d), z_t, pm)
-            r, g, b, sg = fused_mlp_eval_rays(
-                od, z_p, params["packed_fine"],
-                L_x=cfg.L_x, L_d=cfg.L_d, tile_rays=tile,
-                interpret=interpret, out_dtype=jnp.bfloat16)
-            out = volume_render_rays_t(r[:, :m], g[:, :m], b[:, :m],
-                                       sg[:, :m], z_t, rays_d)
+            if fb is not None:
+                # support-gated fine rows (cfg.render_gate_fine)
+                r, g, b, sg = _gated_fine_rays(
+                    params["packed_fine"], rays_o, rays_d, z_all, fb,
+                    tile, pm, _half_gf, near, far, cfg.L_x, cfg.L_d,
+                    interpret)
+            else:
+                od, z_p = _pad_rays_z(_pack_od(rays_o, rays_d), z_t, pm)
+                r, g, b, sg = fused_mlp_eval_rays(
+                    od, z_p, params["packed_fine"],
+                    L_x=cfg.L_x, L_d=cfg.L_d, tile_rays=tile,
+                    interpret=interpret, out_dtype=jnp.bfloat16)
+                r, g, b, sg = (r[:, :m], g[:, :m], b[:, :m], sg[:, :m])
+            out = volume_render_rays_t(r, g, b, sg, z_t, rays_d)
             return out.rgb, out.disp
         if use_pallas:
             _, fine_fn = make_pallas_field_fns(
@@ -751,7 +821,14 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
                                      trunc_eps=trunc_eps)
         return out.rgb, out.disp
 
-    def _wrap_fine(s_keep):
+    def _wrap_fine(s_keep, gated: bool = False):
+        if gated:
+            def body(params, fb, rays_o, rays_d, z_vals, weights, key):
+                return _fine_body(params, rays_o, rays_d, z_vals, weights,
+                                  key, s_keep=s_keep, fb=fb)
+            if n_mesh > 1:
+                return _shard_over_rays(body, mesh, 4, n_rep_args=2)
+            return body
         body = functools.partial(_fine_body, s_keep=s_keep)
         if n_mesh > 1:
             return _shard_over_rays(body, mesh, 4)
@@ -904,8 +981,24 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     def _phase1_tail(z_buf, w_buf):
         return _stats_tail(z_buf, w_buf)
 
-    def _make_phase2(blk, s_keep):
-        fine_fn_b = _wrap_fine(None if s_keep >= s_full else s_keep)
+    def _make_phase2(blk, s_keep, gated: bool = False):
+        fine_fn_b = _wrap_fine(None if s_keep >= s_full else s_keep,
+                               gated=gated)
+
+        if gated:
+            @functools.partial(jax.jit, donate_argnums=(8, 9))
+            def _phase2_g(params, fb, rays_o, rays_d, z_all, w_all, order,
+                          start, rgb_frame, disp_frame, key):
+                """_phase2 with the FINE module's support bounds threaded
+                through to the row-gated fine kernel."""
+                idx = jax.lax.dynamic_slice_in_dim(order, start, blk, 0)
+                key = jax.random.fold_in(key, 1 + start)
+                rgb, disp = fine_fn_b(params, fb, rays_o[idx], rays_d[idx],
+                                      z_all[idx], w_all[idx], key)
+                return (rgb_frame.at[idx].set(rgb),
+                        disp_frame.at[idx].set(disp))
+
+            return _phase2_g
 
         @functools.partial(jax.jit, donate_argnums=(7, 8))
         def _phase2(params, rays_o, rays_d, z_all, w_all, order, start,
@@ -937,11 +1030,11 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
     _sizes = _sizes or [block]
     _phase2_cache: dict = {}
 
-    def _get_phase2(sz, s_keep):
-        fn = _phase2_cache.get((sz, s_keep))
+    def _get_phase2(sz, s_keep, gated: bool = False):
+        fn = _phase2_cache.get((sz, s_keep, gated))
         if fn is None:
-            fn = _make_phase2(sz, s_keep)
-            _phase2_cache[(sz, s_keep)] = fn
+            fn = _make_phase2(sz, s_keep, gated)
+            _phase2_cache[(sz, s_keep, gated)] = fn
         return fn
 
     def _cover_plain(n: int):
@@ -977,12 +1070,17 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
                 disp_frame[:n_total].reshape(H, W))
 
     use_precull = _use_precull(cfg)
+    use_gate_fine = _use_gate_fine(cfg) and use_rays
 
     def _render(params, c2w, key):
         c2w = jnp.asarray(c2w)
         bounds_valid = False
         if use_precull:
             bounds, bounds_valid = _support_for_eval(model, params, cfg)
+        fb, fvalid = None, False
+        if use_gate_fine:
+            fb, fvalid = _support_for_eval(model, params, cfg,
+                                           module="fine")
         if bounds_valid and use_rays:
             (rays_o, rays_d, z_all, w_all, order, class_cum, rgb_frame,
              disp_frame) = _phase1_gated(params, bounds, c2w, key)
@@ -1002,9 +1100,14 @@ def _make_culled_frame_renderer(model: NeRF, cfg, H: int, W: int, K,
         cum = np.asarray(class_cum)               # one host sync per frame
         n_act = int(cum[-1])
         for start, sz, s_keep in _cover(n_act, cum):
-            rgb_frame, disp_frame = _get_phase2(sz, s_keep)(
-                params, rays_o, rays_d, z_all, w_all, order,
-                start, rgb_frame, disp_frame, key)
+            if fvalid:
+                rgb_frame, disp_frame = _get_phase2(sz, s_keep, True)(
+                    params, fb, rays_o, rays_d, z_all, w_all, order,
+                    start, rgb_frame, disp_frame, key)
+            else:
+                rgb_frame, disp_frame = _get_phase2(sz, s_keep)(
+                    params, rays_o, rays_d, z_all, w_all, order,
+                    start, rgb_frame, disp_frame, key)
         return _finalize(rgb_frame, disp_frame)
 
     if not use_pallas:

@@ -462,6 +462,100 @@ def test_gated_row_precull_render_matches(trained_full_width_compact):
     assert partial.any()
 
 
+def test_gated_fine_rays_row_gating(trained_full_width):
+    """_gated_fine_rays (phase-2 fine-row gating by the FINE module's
+    bounds): row activity comes from the ACTUAL sample depths (the merged
+    hierarchical depths are data-dependent — no static row envelopes), at
+    (ray-tile, 8-row) granularity.  Group A's support interval covers only
+    the middle of 3 depth rows; group B exits the estimation cube and is
+    exempt.  All four outputs of active blocks are bit-equal to the
+    ungated eval kernel, gated blocks come back exact zeros, and the
+    ungated kernel is nonzero there (the gate did real work)."""
+    from nerf_pytorch_paeng_tpu.eval.frame import (_gated_fine_rays,
+                                                   _pack_for_eval,
+                                                   _pack_od)
+    from nerf_pytorch_paeng_tpu.kernels.fused_mlp import fused_mlp_eval_rays
+
+    cfg, model, params = trained_full_width
+    packed = _pack_for_eval(params, cfg)["packed_fine"]
+    m, s, tile = 256, 24, 128                    # 3 sample rows of 8
+    # group A: interval [3.5, 4.5] touches only row 1 of linspace(2,6,24)
+    # rows ([2,3.22], [3.39,4.61], [4.78,6]); group B: origin z=8 puts
+    # the t=2 endpoint at z=6 > half=5, outside the estimation cube ->
+    # exempt (full span, nothing gated)
+    oz = np.where(np.arange(m) < m // 2, 4.0, 8.0)
+    rays_o = jnp.asarray(
+        np.stack([np.zeros(m), np.zeros(m), oz], -1), jnp.float32)
+    rays_d = jnp.asarray(
+        np.broadcast_to(np.array([0.0, 0.0, -1.0], np.float32), (m, 3)))
+    fb = (jnp.asarray([-0.5, -0.5, -0.5]), jnp.asarray([0.5, 0.5, 0.5]),
+          jnp.asarray([0.9]), jnp.asarray([True]))
+    z_all = jnp.broadcast_to(
+        jnp.linspace(2.0, 6.0, s, dtype=jnp.float32)[None], (m, s))
+
+    got = [np.asarray(o) for o in _gated_fine_rays(
+        packed, rays_o, rays_d, z_all, fb, tile, m, half=5.0,
+        near=2.0, far=6.0, L_x=cfg.L_x, L_d=cfg.L_d, interpret=True)]
+    ref = [np.asarray(o) for o in fused_mlp_eval_rays(
+        _pack_od(rays_o, rays_d), z_all.T, packed, L_x=cfg.L_x,
+        L_d=cfg.L_d, tile_rays=tile, interpret=True,
+        out_dtype=jnp.bfloat16)]
+
+    a = np.arange(m) < m // 2
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g[:, ~a], r[:, ~a])    # B: untouched
+        np.testing.assert_array_equal(g[8:16, a], r[8:16, a])
+        np.testing.assert_array_equal(g[:8, a], 0.0)         # A: rows 0, 2
+        np.testing.assert_array_equal(g[16:, a], 0.0)        # gated
+        assert not np.array_equal(r[:8, a], np.zeros_like(r[:8, a]))
+        assert not np.array_equal(r[16:, a], np.zeros_like(r[16:, a]))
+
+
+def test_gate_fine_render_matches(trained_full_width_compact):
+    """End-to-end fine-phase gating (cfg.render_gate_fine) with GENUINE
+    fine-module support bounds: the gated culled render must equal the
+    ungated culled render (sound bounds -> gated rows provably carry zero
+    compositing weight), the fine bounds must be valid, and the gated
+    phase-2 programs must actually have been built."""
+    from nerf_pytorch_paeng_tpu.eval.frame import (_pack_for_eval,
+                                                   _support_for_eval,
+                                                   _use_gate_fine)
+    cfg, model, params = trained_full_width_compact
+    # isolate the fine gate from the coarse pre-cull
+    cfg_on = dataclasses.replace(cfg, render_precull="off")
+    cfg_off = dataclasses.replace(cfg, render_precull="off",
+                                  render_gate_fine="off")
+    assert _use_gate_fine(cfg_on) and not _use_gate_fine(cfg_off)
+    assert _use_rays_kernels(cfg_on)
+
+    fb, fvalid = _support_for_eval(model, _pack_for_eval(params, cfg_on),
+                                   cfg_on, module="fine")
+    assert fvalid
+    assert all(np.isfinite(np.asarray(b)).all() for b in fb[:3])
+
+    H = W = 16
+    _, K, poses = make_synth_scene(n_views=1, H=H, W=W)
+    c2w = jnp.asarray(poses[0][:3, :4])
+    key = jax.random.PRNGKey(5)
+    r_on = make_frame_renderer(model, cfg_on, H, W, K, stratified=False)
+    r_off = make_frame_renderer(model, cfg_off, H, W, K, stratified=False)
+    rgb_g, disp_g = r_on(params, c2w, key)
+    rgb_u, disp_u = r_off(params, c2w, key)
+    np.testing.assert_allclose(np.asarray(rgb_g), np.asarray(rgb_u),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(disp_g), np.asarray(disp_u),
+                               atol=1e-4)
+
+    # and over the mesh (shard_map'd gated phase 2, bounds replicated)
+    from nerf_pytorch_paeng_tpu.parallel import make_mesh
+    mesh = make_mesh(8, 1)
+    r_on8 = make_frame_renderer(model, cfg_on, H, W, K, mesh=mesh,
+                                stratified=False)
+    rgb_g8, _ = r_on8(params, c2w, key)
+    np.testing.assert_allclose(np.asarray(rgb_g8), np.asarray(rgb_g),
+                               rtol=1e-3, atol=2e-3)
+
+
 def test_gated_precull_rays_on_mesh(trained_full_width_compact):
     """The gated-precull phase 1 (shard_map'd _coarse_body_gated, bounds
     replicated) over the 8-device mesh equals both the single-device

@@ -43,7 +43,7 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-DATA_ROOT = "/root/data_sweep"
+DATA_ROOT = os.path.join(ROOT, "logs", "data_sweep")
 LOGDIR = os.path.join(ROOT, "logs", "sweep_r04")
 ART = os.path.join(ROOT, "docs", "artifacts", "SWEEP_r04.json")
 ITERS_DEFAULT = 5000
