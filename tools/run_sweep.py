@@ -130,6 +130,9 @@ def run_one(family: str, scene: str, iters: int) -> None:
         log_dir=LOGDIR,
         iter_N=iters, idx_save=iters, idx_test=iters, idx_render=iters,
         testing_idx=iters,
+        # warmup scaled with iter_N at the reference ratio (10k of 200k =
+        # 5%) — the configs' absolute 10k would exceed a reduced iter_N
+        iter_warmup=max(1, iters // 20),
     )
     if family == "blender":
         overrides["n_angle"] = 40           # render-video length only
@@ -220,7 +223,8 @@ def harvest_all(iters: int, walls: dict | None = None) -> dict:
         "deviations_from_config_files": [
             "data_root/data_name/exp_name/log_dir -> stand-in dataset",
             f"iter_N {iters} with idx_save/idx_test/idx_render/"
-            f"testing_idx = iter_N",
+            f"testing_idx = iter_N and iter_warmup scaled to 5% of "
+            f"iter_N (the reference 10k/200k ratio)",
             "blender n_angle 120 -> 40 (render-video length only)",
         ],
         "lpips_note": "LPIPS is null: the pretrained VGG16 weights asset "
