@@ -10,20 +10,22 @@ from __future__ import annotations
 import os
 import numpy as np
 
-from .read_model import (qvec2rotmat, read_cameras_binary,
-                         read_images_binary, read_points3d_binary)
+from .read_model import detect_model_ext, qvec2rotmat, read_model
 from .wrapper import run_colmap
 
 
 def load_colmap_model(basedir: str):
-    """Returns (poses [3,5,N] in LLFF axes, pts3d dict, name-sort perm)."""
+    """Returns (poses [3,5,N] in LLFF axes, pts3d dict, name-sort perm).
+
+    Reads whichever model format is present (``.bin`` from the mapper, or
+    ``.txt`` from a model_converter export / text-shipped dataset) via
+    read_model's ext dispatch — reference colmap_read_model.py:262-270."""
     sparse = os.path.join(basedir, "sparse", "0")
-    cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+    cams, imdata, pts3d = read_model(sparse)
     cam = cams[sorted(cams.keys())[0]]
     hwf = np.array([cam.height, cam.width, cam.params[0]],
                    np.float64).reshape(3, 1)
 
-    imdata = read_images_binary(os.path.join(sparse, "images.bin"))
     keys = list(imdata.keys())
     names = [imdata[k].name for k in keys]
     perm = np.argsort(names)
@@ -44,7 +46,6 @@ def load_colmap_model(basedir: str):
         [poses[:, 1:2, :], poses[:, 0:1, :], -poses[:, 2:3, :],
          poses[:, 3:4, :], poses[:, 4:5, :]], 1)      # [3, 5, N]
 
-    pts3d = read_points3d_binary(os.path.join(sparse, "points3D.bin"))
     return poses, pts3d, perm, keys
 
 
@@ -102,9 +103,9 @@ def gen_poses(basedir: str, match_type: str = "exhaustive_matcher") -> bool:
     """Ensure a sparse model exists (running COLMAP if needed), then write
     poses_bounds.npy (reference pose_utils.py:262-285)."""
     sparse0 = os.path.join(basedir, "sparse", "0")
-    needed = [f"{n}.bin" for n in ("cameras", "images", "points3D")]
-    have = os.listdir(sparse0) if os.path.isdir(sparse0) else []
-    if not all(f in have for f in needed):
+    try:
+        detect_model_ext(sparse0)   # .bin or .txt both count as a model
+    except FileNotFoundError:
         run_colmap(basedir, match_type)
     poses, pts3d, perm, keys = load_colmap_model(basedir)
     save_poses_bounds(basedir, poses, pts3d, perm, image_ids=keys)

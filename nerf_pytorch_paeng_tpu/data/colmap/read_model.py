@@ -1,15 +1,18 @@
-"""Parser for COLMAP's binary sparse-model files (cameras/images/points3D).
+"""Parser for COLMAP's sparse-model files (cameras/images/points3D),
+binary AND text formats.
 
 Capability parity target: reference dataset/colmap/colmap_read_model.py
-(read_cameras_binary:109, read_images_binary:169, read_points3d_binary:231)
-— re-implemented from the COLMAP binary format spec with plain dataclasses
+(read_cameras_binary:109, read_images_binary:169, read_points3d_binary:231,
+the text readers at :83-261, and the ext-dispatching read_model:262-270)
+— re-implemented from the COLMAP model format spec with plain dataclasses
 and numpy (no torch).
 """
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
-from typing import BinaryIO, Dict
+from typing import BinaryIO, Dict, Tuple
 
 import numpy as np
 
@@ -130,3 +133,108 @@ def read_points3d_binary(path: str) -> Dict[int, Point3D]:
                                   track["im"].astype(np.int32),
                                   track["pt"].astype(np.int32))
     return points
+
+
+# ---- text format -----------------------------------------------------------
+# COLMAP writes text models as one record per line (images: two lines),
+# '#'-prefixed comment lines anywhere in the header.
+
+def _text_records(path: str):
+    with open(path) as fp:
+        for line in fp:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                yield line.split()
+
+
+def read_cameras_text(path: str) -> Dict[int, Camera]:
+    """cameras.txt: CAMERA_ID MODEL WIDTH HEIGHT PARAMS[]"""
+    cams: Dict[int, Camera] = {}
+    for tok in _text_records(path):
+        cam_id = int(tok[0])
+        cams[cam_id] = Camera(cam_id, tok[1], int(tok[2]), int(tok[3]),
+                              np.array([float(p) for p in tok[4:]]))
+    return cams
+
+
+def read_images_text(path: str) -> Dict[int, Image]:
+    """images.txt, two lines per image:
+    IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME
+    then POINTS2D[] as (X, Y, POINT3D_ID) triplets (may be empty)."""
+    images: Dict[int, Image] = {}
+    header = None
+    for tok in _text_records(path):
+        if header is None:
+            header = tok
+            continue
+        image_id = int(header[0])
+        pts = np.array([float(t) for t in tok],
+                       np.float64).reshape(-1, 3) if tok else \
+            np.zeros((0, 3))
+        images[image_id] = Image(
+            image_id,
+            np.array([float(q) for q in header[1:5]]),
+            np.array([float(t) for t in header[5:8]]),
+            int(header[8]), " ".join(header[9:]),
+            pts[:, :2], pts[:, 2].astype(np.int64))
+        header = None
+    if header is not None:
+        # an image header with its points line missing: COLMAP always
+        # writes the second line (possibly empty) — but an empty points
+        # line strips to "" and is skipped by _text_records, so accept it
+        image_id = int(header[0])
+        images[image_id] = Image(
+            image_id,
+            np.array([float(q) for q in header[1:5]]),
+            np.array([float(t) for t in header[5:8]]),
+            int(header[8]), " ".join(header[9:]),
+            np.zeros((0, 2)), np.zeros((0,), np.int64))
+    return images
+
+
+def read_points3d_text(path: str) -> Dict[int, Point3D]:
+    """points3D.txt: POINT3D_ID X Y Z R G B ERROR TRACK[] as
+    (IMAGE_ID, POINT2D_IDX) pairs."""
+    points: Dict[int, Point3D] = {}
+    for tok in _text_records(path):
+        pid = int(tok[0])
+        track = np.array([int(t) for t in tok[8:]],
+                         np.int32).reshape(-1, 2)
+        points[pid] = Point3D(
+            pid, np.array([float(v) for v in tok[1:4]]),
+            np.array([int(v) for v in tok[4:7]], np.uint8),
+            float(tok[7]), track[:, 0], track[:, 1])
+    return points
+
+
+# ---- ext dispatch ----------------------------------------------------------
+
+def detect_model_ext(sparse_dir: str) -> str:
+    """'.bin' if a binary model is present, else '.txt' if a text model is,
+    else raise. Binary wins when both exist (it is what COLMAP's mapper
+    writes; text comes from model_converter exports)."""
+    for ext in (".bin", ".txt"):
+        if all(os.path.isfile(os.path.join(sparse_dir, n + ext))
+               for n in ("cameras", "images", "points3D")):
+            return ext
+    raise FileNotFoundError(
+        f"no complete COLMAP model (cameras/images/points3D .bin or .txt) "
+        f"in {sparse_dir!r}")
+
+
+def read_model(sparse_dir: str, ext: str | None = None
+               ) -> Tuple[Dict[int, Camera], Dict[int, Image],
+                          Dict[int, Point3D]]:
+    """Read a sparse model directory in either format (reference
+    colmap_read_model.py:262-270). ``ext`` in {'.bin', '.txt', None=auto}."""
+    ext = ext or detect_model_ext(sparse_dir)
+    p = lambda n: os.path.join(sparse_dir, n + ext)  # noqa: E731
+    if ext == ".bin":
+        return (read_cameras_binary(p("cameras")),
+                read_images_binary(p("images")),
+                read_points3d_binary(p("points3D")))
+    if ext == ".txt":
+        return (read_cameras_text(p("cameras")),
+                read_images_text(p("images")),
+                read_points3d_text(p("points3D")))
+    raise ValueError(f"unknown COLMAP model ext {ext!r}")

@@ -173,7 +173,10 @@ def main_worker(cfg: NerfConfig) -> None:
         policy_path = os.path.join(cfg.logdir, cfg.exp_name,
                                    "precull_policy.csv")
         os.makedirs(os.path.dirname(policy_path), exist_ok=True)
-        if not os.path.isfile(policy_path):
+        # fresh run truncates (a re-run with the same exp_name must not
+        # interleave rows from different runs — harvest would miscount);
+        # a resume (iter_start != 0) appends to the existing trajectory
+        if cfg.iter_start == 0 or not os.path.isfile(policy_path):
             with open(policy_path, "w") as pf:
                 pf.write("iter,bounds_valid,gate_frac_pred,gated\n")
 
@@ -272,7 +275,8 @@ def main_worker(cfg: NerfConfig) -> None:
     # ---- 5. observability ------------------------------------------------
     from .train.schedule import schedule_from_cfg
     sched_fn = schedule_from_cfg(cfg)
-    logger = MetricLogger(cfg.logdir, cfg.exp_name)
+    logger = MetricLogger(cfg.logdir, cfg.exp_name,
+                          fresh=(cfg.iter_start == 0))
     rng = np.random.default_rng(cfg.seed + 2)
     step_key = commit_replicated(jax.random.PRNGKey(cfg.seed + 3), mesh)
 

@@ -154,6 +154,81 @@ def test_colmap_binary_parsers(tmp_path):
     assert pts[7].image_ids.tolist() == [1, 2]
 
 
+def write_colmap_model_text(sparse0):
+    """The SAME model as write_colmap_model, in COLMAP's text format
+    (what `colmap model_converter --output_type TXT` produces)."""
+    os.makedirs(sparse0, exist_ok=True)
+    with open(os.path.join(sparse0, "cameras.txt"), "w") as f:
+        f.write("# Camera list with one line of data per camera:\n")
+        f.write("#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
+        f.write("1 SIMPLE_PINHOLE 64 48 50.0 32.0 24.0\n")
+    with open(os.path.join(sparse0, "images.txt"), "w") as f:
+        f.write("# Image list with two lines of data per image:\n")
+        f.write("1 1.0 0.0 0.0 0.0 0.1 0.0 1.0 1 b.png\n")
+        f.write("1.0 2.0 7\n")
+        f.write("2 1.0 0.0 0.0 0.0 0.2 0.0 1.0 1 a.png\n")
+        f.write("1.0 2.0 7\n")
+    with open(os.path.join(sparse0, "points3D.txt"), "w") as f:
+        f.write("# 3D point list with one line of data per point:\n")
+        f.write("7 0.0 0.0 5.0 255 0 0 0.5 1 0 2 0\n")
+
+
+def test_colmap_text_parsers_match_binary(tmp_path):
+    """Text and binary parsers of the same model must agree field-for-field
+    (reference colmap_read_model.py:83-261 reads both formats)."""
+    from nerf_pytorch_paeng_tpu.data.colmap.read_model import read_model
+    bin_dir = str(tmp_path / "bin" / "sparse" / "0")
+    txt_dir = str(tmp_path / "txt" / "sparse" / "0")
+    write_colmap_model(bin_dir)
+    write_colmap_model_text(txt_dir)
+
+    cb, ib, pb = read_model(bin_dir)      # auto-detects .bin
+    ct, it, pt = read_model(txt_dir)      # auto-detects .txt
+    assert set(cb) == set(ct) and set(ib) == set(it) and set(pb) == set(pt)
+    for k in cb:
+        assert cb[k].model == ct[k].model
+        assert (cb[k].width, cb[k].height) == (ct[k].width, ct[k].height)
+        np.testing.assert_allclose(cb[k].params, ct[k].params)
+    for k in ib:
+        assert ib[k].name == it[k].name
+        assert ib[k].camera_id == it[k].camera_id
+        np.testing.assert_allclose(ib[k].qvec, it[k].qvec)
+        np.testing.assert_allclose(ib[k].tvec, it[k].tvec)
+        np.testing.assert_allclose(ib[k].xys, it[k].xys)
+        assert ib[k].point3D_ids.tolist() == it[k].point3D_ids.tolist()
+    for k in pb:
+        np.testing.assert_allclose(pb[k].xyz, pt[k].xyz)
+        np.testing.assert_allclose(pb[k].rgb, pt[k].rgb)
+        assert pb[k].error == pt[k].error
+        assert pb[k].image_ids.tolist() == pt[k].image_ids.tolist()
+        assert pb[k].point2D_idxs.tolist() == pt[k].point2D_idxs.tolist()
+
+
+def test_colmap_read_model_dispatch_errors(tmp_path):
+    from nerf_pytorch_paeng_tpu.data.colmap.read_model import (
+        detect_model_ext, read_model)
+    with pytest.raises(FileNotFoundError):
+        detect_model_ext(str(tmp_path))
+    sparse0 = str(tmp_path / "sparse" / "0")
+    write_colmap_model_text(sparse0)
+    with pytest.raises(ValueError):
+        read_model(sparse0, ext=".json")
+
+
+def test_gen_poses_from_text_model(tmp_path):
+    """A dataset shipped with a TEXT sparse model must produce the same
+    poses_bounds.npy as the binary one — no COLMAP binary involved."""
+    from nerf_pytorch_paeng_tpu.data.colmap.poses import gen_poses
+    base_b, base_t = str(tmp_path / "b"), str(tmp_path / "t")
+    write_colmap_model(os.path.join(base_b, "sparse", "0"))
+    write_colmap_model_text(os.path.join(base_t, "sparse", "0"))
+    gen_poses(base_b)
+    gen_poses(base_t)
+    np.testing.assert_allclose(
+        np.load(os.path.join(base_t, "poses_bounds.npy")),
+        np.load(os.path.join(base_b, "poses_bounds.npy")), rtol=1e-12)
+
+
 def test_qvec2rotmat_identity_and_90deg():
     np.testing.assert_allclose(qvec2rotmat(np.array([1.0, 0, 0, 0])),
                                np.eye(3), atol=1e-12)

@@ -41,7 +41,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 LOGDIR = os.path.join(ROOT, "logs", "gated_policy_r04")
-ART = os.path.join(ROOT, "docs", "artifacts", "GATED_POLICY_r04.json")
+ART = os.path.join(ROOT, "docs", "artifacts", "GATED_POLICY_r05.json")
 # the round-3 flagship soft-blob capture (reused read-only if present)
 FLAGSHIP_DATA = "/root/data_synth_lego800"
 
@@ -128,8 +128,10 @@ def harvest_arm(scene: str, arm: str, iters: int) -> dict:
             row["sustained_rays_per_sec"] = round(float(np.median(rps[1:])), 1)
             row["rays_per_sec_p10_p90"] = [
                 round(float(np.percentile(rps[1:], p)), 1) for p in (10, 90)]
+        # `or "nan"`: empty field from a partially written trailing row
+        # (killed run) degrades to nan instead of aborting the harvest
         row["final_train_psnr_f"] = round(
-            float(rows[-1].get("psnr_f", "nan")), 3)
+            float(rows[-1].get("psnr_f") or "nan"), 3)
         gfs = [(int(r["step"]), float(r["gate_frac"])) for r in rows
                if r.get("gate_frac") not in (None, "", "nan")]
         if gfs:
@@ -232,15 +234,18 @@ def main(iters: int, scenes) -> int:
             t0 = time.time()
             print(f"\n==== gated-policy: {scene}/{arm} ({iters} iters) ====",
                   flush=True)
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one",
-                 scene, arm, str(iters)],
-                cwd=ROOT, timeout=14400)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one",
+                     scene, arm, str(iters)],
+                    cwd=ROOT, timeout=14400)
+                rc = proc.returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout"   # one arm must not take down the cert run
             walls[(scene, arm)] = time.time() - t0
-            if proc.returncode != 0:
-                failures.append(f"{scene}/{arm} rc={proc.returncode}")
-                print(f"!! {scene}/{arm} FAILED rc={proc.returncode}",
-                      flush=True)
+            if rc != 0:
+                failures.append(f"{scene}/{arm} rc={rc}")
+                print(f"!! {scene}/{arm} FAILED rc={rc}", flush=True)
     art = harvest_all(iters, scenes, walls)
     print(json.dumps(art, indent=1), flush=True)
     print(f">> artifact written: {ART}", flush=True)

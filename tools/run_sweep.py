@@ -164,9 +164,11 @@ def harvest_scene(family: str, scene: str, iters: int) -> dict:
             if rps.size > 2:
                 row["sustained_rays_per_sec"] = round(
                     float(np.median(rps[1:])), 1)
+            # `or "nan"`: a partially written trailing CSV row (killed
+            # run) has empty fields — degrade to nan, don't abort harvest
             row["final_train_psnr_f"] = round(
-                float(rows[-1].get("psnr_f", "nan")), 2)
-            row["final_lr"] = float(rows[-1].get("lr", "nan"))
+                float(rows[-1].get("psnr_f") or "nan"), 2)
+            row["final_lr"] = float(rows[-1].get("lr") or "nan")
 
     res = os.path.join(exp_dir, f"{exp}_{iters}", "test_result",
                        "_result.txt")
@@ -254,15 +256,20 @@ def main(iters: int) -> int:
             t0 = time.time()
             print(f"\n==== sweep: {family}/{scene} ({iters} iters) ====",
                   flush=True)
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one",
-                 family, scene, str(iters)],
-                cwd=ROOT, timeout=3600)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one",
+                     family, scene, str(iters)],
+                    cwd=ROOT, timeout=3600)
+                rc = proc.returncode
+            except subprocess.TimeoutExpired:
+                # one scene timing out must not take down the sweep —
+                # record it as a failure like a nonzero return code
+                rc = "timeout"
             walls[(family, scene)] = time.time() - t0
-            if proc.returncode != 0:
-                failures.append(f"{family}/{scene} rc={proc.returncode}")
-                print(f"!! {family}/{scene} FAILED rc={proc.returncode}",
-                      flush=True)
+            if rc != 0:
+                failures.append(f"{family}/{scene} rc={rc}")
+                print(f"!! {family}/{scene} FAILED rc={rc}", flush=True)
     art = harvest_all(iters, walls)
     print(json.dumps({k: v for k, v in art.items() if k != "scenes"},
                      indent=1), flush=True)
