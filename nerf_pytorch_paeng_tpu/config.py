@@ -76,6 +76,10 @@ class NerfConfig:
     lr_min: float = 5e-5
     iter_warmup: int = 10000
     iter_N: int = 200000
+    # 0 = from scratch; >0 = resume from that checkpoint (reference
+    # main.py:110-117); -1 = auto-resume from the LATEST checkpoint under
+    # logs/<exp>/ (from scratch when none exists) — an ergonomics
+    # improvement over the reference's manual bookkeeping
     iter_start: int = 0
 
     # ====== Batch (reference config.py:68-76)

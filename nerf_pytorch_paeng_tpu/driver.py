@@ -28,8 +28,8 @@ from .parallel import (batch_sharding, commit_replicated,
                        make_train_step_for_mesh, shard_params)
 from .parallel.mesh import maybe_initialize_distributed
 from .train import RayPool, build_ray_pool, create_train_state
-from .train.checkpoint import (restore_checkpoint, restore_params_only,
-                               save_checkpoint)
+from .train.checkpoint import (latest_checkpoint_step, restore_checkpoint,
+                               restore_params_only, save_checkpoint)
 from .utils.logging import MetricLogger
 from .utils.visualize import visualize_extrinsics
 
@@ -71,6 +71,12 @@ def main_worker(cfg: NerfConfig) -> None:
         print(f">> compile cache: {cache_dir}")
     maybe_initialize_distributed()
     print(f">> devices: {jax.devices()}")
+    if cfg.iter_start < 0:   # -1 = auto-resume from the latest checkpoint
+        latest = latest_checkpoint_step(cfg.logdir, cfg.exp_name)
+        cfg = dataclasses.replace(cfg, iter_start=latest or 0)
+        print(f">> auto-resume: latest checkpoint is "
+              f"{latest if latest is not None else 'absent'} "
+              f"-> iter_start={cfg.iter_start}")
     mesh = make_mesh(cfg.n_data_shards, cfg.n_model_shards)
     print(f">> mesh: {dict(mesh.shape)}")
 
@@ -212,6 +218,14 @@ def main_worker(cfg: NerfConfig) -> None:
         pool = commit_replicated(
             build_ray_pool(images, K, extrinsics, i_train, sub), mesh)
         ray_pool = RayPool(pool, jax.random.fold_in(key, 17))
+        if cfg.iter_start != 0:
+            # exact resume: the pool trajectory is deterministic in
+            # (seed, step count) — replay the cursor/epoch reshuffles so
+            # the resumed run serves the same batches the uninterrupted
+            # run would (RayPool.fast_forward)
+            ray_pool.fast_forward(int(state.step), cfg.N_rays)
+            print(f">> ray pool fast-forwarded to step {int(state.step)} "
+                  f"(epoch {ray_pool.epoch}, cursor {ray_pool.i_batch})")
         step_raw = make_train_step_for_mesh(
             model, tx, cfg, mesh, H, W, float(K[0][0]), precull=precull_on)
         # the builder states whether it actually built the gated (6-arg)
@@ -278,6 +292,12 @@ def main_worker(cfg: NerfConfig) -> None:
     logger = MetricLogger(cfg.logdir, cfg.exp_name,
                           fresh=(cfg.iter_start == 0))
     rng = np.random.default_rng(cfg.seed + 2)
+    if cfg.iter_start != 0 and not cfg.global_batch:
+        # exact resume, per-image mode: replay the image-choice draws
+        # (one per completed step) so the resumed image sequence matches
+        # the uninterrupted run's
+        for _ in range(int(state.step)):
+            rng.choice(i_train)
     step_key = commit_replicated(jax.random.PRNGKey(cfg.seed + 3), mesh)
 
     # ---- 6. the loop (reference main.py:124-161) -------------------------

@@ -57,6 +57,55 @@ of pixel count x sample count.  The error is bounded by tau (cull) and
 trunc_eps (truncation) on the coarse estimate and guard-tested end-to-end
 (tests/test_render_culled.py: PSNR delta vs the exact render < 0.05 dB on
 a trained scene, for both mechanisms).
+
+PIPELINE MAP — who builds what, and every cached program family
+===============================================================
+
+    get_frame_renderer(model, cfg, H, W, K, mesh)     <- the ONE entry
+      | cache key: (params-independent) cfg knobs + HWK + mesh axes
+      |            (_cfg_cache_key/_mesh_cache_key); eval hooks across a
+      |            training run reuse the same compiled renderer
+      +-> cfg.sp_shards > 1 ---> _make_sp_frame_renderer
+      +-> render_cull == "none" -> _make_dense_frame_renderer
+      +-> render_cull == "auto" -> _make_culled_frame_renderer
+
+    per-frame params packing (all three families):
+      _pack_for_eval -> _pack_program(L_x, L_d)   [lru by arch]
+        one jitted repack of the param pytree into the kernels' fused
+        layouts, cached by params *identity* — per-frame eager packing
+        was ~50 tunnel dispatches (~300 ms/frame) before round 3.
+
+    _make_dense_frame_renderer: ray gen (_make_ray_gen) + per-block
+      coarse+fine render; blocks are unrolled host dispatches (lax.map
+      over pallas_call is the known worker crash).  Program families:
+      one per (block size, tail block size).
+
+    _make_sp_frame_renderer: same structure, but each block renders via
+      parallel/sp.make_sample_sharded_render_full (sample-axis sharding;
+      coarse+fine at full width, distributed log-space transmittance).
+
+    _make_culled_frame_renderer: the production path.
+      phase 1  _sigma_program: sigma-only coarse for ALL rays in one
+               program -> per-ray acc, truncation stats, s_req class;
+               with _use_precull, miss rays are argsorted into trailing
+               tiles the gated kernel skips (_gated_sigma_t; zero extra
+               dispatches).  ONE host sync reads the s_req histogram.
+      phase 2  _fine_program family, keyed by (block size, quantized
+               sample count): gather compacted survivors, truncated
+               hierarchical fine pass, composite, scatter into donated
+               frame buffers.  With _use_gate_fine, the fine module's
+               OWN support bounds row-gate the fine kernel
+               (_gated_fine_rays) — still zero extra dispatches.
+      support bounds: _support_for_eval(module="coarse"|"fine") — one
+               cached grid program per (params identity, module)
+               (ops/occupancy.support_bounds_from_sigma); invalid bounds
+               or segments leaving the cube route to the UNGATED
+               programs (correctness never depends on the bounds).
+
+    Adding a knob?  If it changes compiled shapes it must enter
+    _cfg_cache_key, or stale renderers will serve the old shapes.
+    Anything executed per frame belongs INSIDE one of these programs —
+    an eager jnp op on the frame path is a ~20 ms tunnel dispatch.
 """
 from __future__ import annotations
 
@@ -241,7 +290,13 @@ def _gated_fine_rays(packed_fine, rays_o, rays_d, z_all, fb, tile, pm,
     inside = segment_in_cube(rays_o, rays_d, half, near, far)
     t_lo = jnp.where(inside, t_lo, near)
     t_hi = jnp.where(inside, t_hi, far)
-    act = (z_all >= t_lo[:, None]) & (z_all <= t_hi[:, None])   # [m, S]
+    # widen by the same fp margin the coarse row envelopes use
+    # (_row_envelopes): ulp-level z/interval rounding must never shrink
+    # coverage — the one-cell AABB dilation is the semantic safety
+    # margin, this epsilon is the numeric one
+    margin = 1e-4 * (far - near)
+    act = ((z_all >= t_lo[:, None] - margin)
+           & (z_all <= t_hi[:, None] + margin))                 # [m, S]
     act = act.reshape(m, n_rows, _GATE_S_ROWS).any(-1)          # [m, R]
     order0, inv0 = span_sort(act)
     od_s = _pack_od(rays_o, rays_d)[:, order0]

@@ -75,3 +75,32 @@ class RayPool:
         start = self.i_batch
         self.i_batch += n
         return start
+
+    def fast_forward(self, steps: int, n: int) -> None:
+        """Replay ``steps`` completed ``next_start(n)`` calls in O(epochs).
+
+        The pool trajectory is fully deterministic in (initial pool, key,
+        step count): the cursor advances n per call and each exhaustion
+        reshuffles with the next split of ``self.key``.  An exact resume
+        (driver.py) therefore needs no pool state in the checkpoint — it
+        rebuilds the initial pool and fast-forwards, after which the
+        resumed run serves bit-identical batches to the uninterrupted one
+        (pinned by tests/test_cli.py::test_resume_matches_uninterrupted).
+
+        Epoch math: per_epoch = M // n batches are served per pool order;
+        the reshuffle happens at the START of calls per_epoch+1,
+        2*per_epoch+1, ... so after ``steps`` calls exactly
+        (steps-1) // per_epoch reshuffles have occurred.
+        """
+        if steps <= 0:
+            return
+        M = self.pool.shape[0]
+        per_epoch = M // n
+        assert per_epoch > 0, (M, n)
+        reshuffles = (steps - 1) // per_epoch
+        for _ in range(reshuffles):
+            self.key, sub = jax.random.split(self.key)
+            perm = jax.random.permutation(sub, M)
+            self.pool = self.pool[perm]
+            self.epoch += 1
+        self.i_batch = (steps - reshuffles * per_epoch) * n

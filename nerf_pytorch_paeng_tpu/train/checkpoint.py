@@ -18,6 +18,22 @@ import orbax.checkpoint as ocp
 from .state import TrainState
 
 
+def latest_checkpoint_step(logdir: str, exp_name: str):
+    """Highest step with a checkpoint under logs/<exp>/, or None.
+
+    Backs ``iter_start = -1`` auto-resume (driver.py) — the reference
+    requires the user to pass the exact saved iteration by hand
+    (main.py:110-117)."""
+    import re
+    d = os.path.join(logdir, exp_name)
+    if not os.path.isdir(d):
+        return None
+    pat = re.compile(re.escape(exp_name) + r"_(\d+)\.ckpt$")
+    steps = [int(m.group(1)) for f in os.listdir(d)
+             if (m := pat.match(f)) and os.path.isdir(os.path.join(d, f))]
+    return max(steps) if steps else None
+
+
 def ckpt_dir(logdir: str, exp_name: str, step: int) -> str:
     """logs/<exp>/<exp>_<step>.ckpt — mirrors the reference's
     <exp>_<iter>.pth.tar naming."""

@@ -27,7 +27,11 @@ one-time offline step on a machine with internet access:
     scp lpips_vgg16.npz lpips_vgg16.npz.sha256 <target>:
 
 The LPIPS *graph* itself is golden-tested with random weights
-(tests/test_eval.py) so the math is trusted independently of this asset.
+(tests/test_eval.py), and THIS tool's conversion (layer ordering, OIHW->
+HWIO transpose, channel-width sequence, sha256 sidecar, end-to-end
+export->load->graph) is tested against a layout-faithful fake VGG in
+tests/test_eval.py::test_lpips_export_roundtrip — the only untested code
+path is torchvision's download itself.
 """
 from __future__ import annotations
 
@@ -36,6 +40,66 @@ import hashlib
 
 import numpy as np
 
+# VGG16 conv channel plan — must mirror eval/metrics._VGG_BLOCKS (and
+# torchvision's vgg16().features ordering): 13 convs in 5 blocks.
+_VGG_BLOCKS = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+_EXPECTED_OUT_CHANNELS = [ch for ch, n in _VGG_BLOCKS for _ in range(n)]
+_TAP_CHANNELS = [ch for ch, _ in _VGG_BLOCKS]
+
+
+def convert(vgg_features, lins) -> dict:
+    """torch modules -> the flat numpy dict the framework loads.
+
+    ``vgg_features``: an iterable of torch layers in torchvision's
+    ``vgg16().features`` order (Conv2d/ReLU/MaxPool2d interleaved — the
+    convs are taken in encounter order, which IS the layer-ordering
+    assumption this function owns and the fixture test pins).
+    ``lins``: the 5 LPIPS per-tap linear modules (lpips.LPIPS(net='vgg')
+    .lins), each exposing its 1x1 conv weight at ``.model[-1].weight``.
+    """
+    arrays = {}
+    conv_i = 0
+    for layer in vgg_features:
+        if layer.__class__.__name__ != "Conv2d":
+            continue
+        w = layer.weight.detach().numpy()           # [out, in, 3, 3] OIHW
+        if w.shape[0] != _EXPECTED_OUT_CHANNELS[conv_i]:
+            raise ValueError(
+                f"conv {conv_i}: out_channels {w.shape[0]} != expected "
+                f"{_EXPECTED_OUT_CHANNELS[conv_i]} — torchvision layer "
+                "ordering changed; update _VGG_BLOCKS in both this tool "
+                "and eval/metrics.py")
+        arrays[f"conv{conv_i}_w"] = np.transpose(
+            w, (2, 3, 1, 0)).astype(np.float32)     # HWIO
+        arrays[f"conv{conv_i}_b"] = (
+            layer.bias.detach().numpy().astype(np.float32))
+        conv_i += 1
+    if conv_i != 13:
+        raise ValueError(f"expected 13 convs, found {conv_i}")
+
+    lins = list(lins)
+    if len(lins) != 5:
+        raise ValueError(f"expected 5 LPIPS taps, found {len(lins)}")
+    for i, lin in enumerate(lins):
+        w = lin.model[-1].weight.detach().numpy()   # [1, C, 1, 1]
+        w = w.reshape(-1).astype(np.float32)
+        if w.shape[0] != _TAP_CHANNELS[i]:
+            raise ValueError(
+                f"lin {i}: {w.shape[0]} channels != tap width "
+                f"{_TAP_CHANNELS[i]} (relu{i+1} tap)")
+        arrays[f"lin{i}_w"] = w
+    return arrays
+
+
+def write_npz(arrays: dict, out_path: str) -> str:
+    """Write the .npz + its .sha256 sidecar; returns the digest."""
+    np.savez(out_path, **arrays)
+    with open(out_path, "rb") as fp:
+        digest = hashlib.sha256(fp.read()).hexdigest()
+    with open(out_path + ".sha256", "w") as fp:
+        fp.write(f"{digest}  {out_path}\n")
+    return digest
+
 
 def main(out_path: str) -> None:
     import lpips  # type: ignore
@@ -43,28 +107,8 @@ def main(out_path: str) -> None:
 
     vgg = torchvision.models.vgg16(weights="IMAGENET1K_V1").features.eval()
     loss = lpips.LPIPS(net="vgg")
-
-    arrays = {}
-    conv_i = 0
-    for layer in vgg:
-        if layer.__class__.__name__ == "Conv2d":
-            w = layer.weight.detach().numpy()       # [out, in, 3, 3] OIHW
-            arrays[f"conv{conv_i}_w"] = np.transpose(
-                w, (2, 3, 1, 0)).astype(np.float32)  # HWIO
-            arrays[f"conv{conv_i}_b"] = (
-                layer.bias.detach().numpy().astype(np.float32))
-            conv_i += 1
-    assert conv_i == 13, conv_i
-
-    for i, lin in enumerate(loss.lins):
-        w = lin.model[-1].weight.detach().numpy()   # [1, C, 1, 1]
-        arrays[f"lin{i}_w"] = w.reshape(-1).astype(np.float32)
-
-    np.savez(out_path, **arrays)
-    with open(out_path, "rb") as fp:
-        digest = hashlib.sha256(fp.read()).hexdigest()
-    with open(out_path + ".sha256", "w") as fp:
-        fp.write(f"{digest}  {out_path}\n")
+    arrays = convert(vgg, loss.lins)
+    digest = write_npz(arrays, out_path)
     print(f"wrote {out_path}: {len(arrays)} arrays (sha256 {digest[:16]}…)")
 
 
