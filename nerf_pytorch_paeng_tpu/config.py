@@ -240,10 +240,15 @@ class NerfConfig:
     # stale ONLY by support growth from non-local weight updates (local
     # gradients cannot push a <= 0 logit up through the relu) — the
     # refresh re-measures the live field, same grid trust as
-    # render_precull.  Off by default: the reference-parity trajectory
-    # guarantees quote the ungated step.  blender scenes + the ray-major
-    # kernel path only; everything else ignores the flag.
-    train_precull: bool = False
+    # render_precull.  Tri-state: "auto" (default) = policy-guarded ON
+    # wherever applicable (blender + ray-major kernel path + usable
+    # grid + data-only mesh), silently ungated elsewhere; "on"/True =
+    # same, but warns when inapplicable; "off"/False = never.  The
+    # policy itself (bounds validity + kernel-free gate_frac estimator
+    # + refresh backoff) keeps declining content at ungated speed —
+    # certified at 50k-iter scale on soft AND hard scenes
+    # (docs/artifacts/GATED_POLICY_r05.json).
+    train_precull: str = "auto"
     train_precull_every: int = 256
     # gated-kernel ray-tile size (0 = auto): smaller than the ungated
     # pair's 2048 so the span-sorted miss rays fill whole gateable tiles
@@ -258,6 +263,15 @@ class NerfConfig:
     # photometric A/B: 132.5k -> 116.7k rays/s, GATED_TRAIN_AB_r03.json).
     # 0 disables the check (always gate while bounds are valid).
     train_precull_min_gate: float = 0.15
+    # refresh backoff while the policy keeps DECLINING: each consecutive
+    # ungated decision doubles the next refresh interval up to
+    # every * backoff_max, and any GATED decision resets it.  While
+    # ungated no bounds are in use, so the longer staleness window is
+    # free of correctness cost — it only delays (re-)engagement by at
+    # most the backed-off interval.  Cuts the declining-content probe
+    # overhead (the 1.5% of GATED_POLICY_r04's soft scene) ~8x.  1 = no
+    # backoff.
+    train_precull_backoff_max: int = 8
     # sample-axis (SP/context-parallel analog) sharding for full-frame
     # rendering: split each ray's sample axis over the mesh 'model' axis
     # with the distributed log-space transmittance scan (parallel/sp.py).
@@ -306,6 +320,9 @@ class NerfConfig:
         assert str(self.render_gate_fine).lower() in (
             "auto", "on", "off", "true", "false", "t", "f", "yes", "no",
             "y", "n", "0", "1"), self.render_gate_fine
+        assert str(self.train_precull).lower() in (
+            "auto", "on", "off", "true", "false", "t", "f", "yes", "no",
+            "y", "n", "0", "1"), self.train_precull
         assert self.N_samples_c > 0
         assert self.iter_warmup < self.iter_N + 1
         assert (self.train_precull_tile >= 0

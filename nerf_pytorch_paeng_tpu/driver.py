@@ -135,9 +135,12 @@ def main_worker(cfg: NerfConfig) -> None:
     # train_precull_every iters, gate the training kernels' work
     from .train.precull import (make_gate_frac_estimator,
                                 make_train_support_program,
-                                train_precull_active)
-    precull_on = bool(cfg.train_precull) and train_precull_active(cfg, mesh)
-    if cfg.train_precull and not precull_on:
+                                train_precull_active, train_precull_mode)
+    precull_mode = train_precull_mode(cfg)
+    precull_on = precull_mode != "off" and train_precull_active(cfg, mesh)
+    if precull_mode == "on" and not precull_on:
+        # only an EXPLICIT request warns; the "auto" default falls back
+        # silently (most non-blender / non-reference-arch runs)
         print(">> train_precull requested but inapplicable here "
               "(needs blender data, the ray-major kernel path, a usable "
               "support grid, and a data-only mesh dividing N_rays) — "
@@ -362,10 +365,16 @@ def main_worker(cfg: NerfConfig) -> None:
     pbar = trange(cfg.iter_start + 1, cfg.iter_N + 1)
     i = cfg.iter_start + 1
     next_refresh = i  # first train_precull bounds measure before step 1
+    backoff = 1       # doubles per declined refresh (config: backoff_max)
     while i <= cfg.iter_N:
         if precull_on and i >= next_refresh:
             support = refresh_support(state.params, i)
-            next_refresh = i + max(int(cfg.train_precull_every), 1)
+            # backoff: consecutive declines stretch the probe interval
+            # (no bounds in use while ungated -> staleness is free);
+            # any engagement resets to the base cadence
+            backoff = 1 if support is not None else min(
+                backoff * 2, max(int(cfg.train_precull_backoff_max), 1))
+            next_refresh = i + max(int(cfg.train_precull_every), 1) * backoff
         if cfg.profile and i == cfg.iter_start + 10:
             try:  # trace a few steady-state steps (SURVEY §5 observability)
                 jax.profiler.start_trace(profile_dir)

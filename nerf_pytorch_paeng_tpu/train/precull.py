@@ -32,6 +32,22 @@ import jax
 import jax.numpy as jnp
 
 
+def train_precull_mode(cfg) -> str:
+    """Normalize cfg.train_precull to 'auto' | 'on' | 'off'.
+
+    'auto' (the default) and 'on' both run the policy-guarded gated path
+    where applicable; they differ only in that an explicit 'on' (or
+    legacy bool True) warns when the path is inapplicable instead of
+    silently running ungated."""
+    v = cfg.train_precull
+    if isinstance(v, bool):
+        return "on" if v else "off"
+    s = str(v).strip().lower()
+    if s == "auto":
+        return "auto"
+    return "on" if s in ("on", "true", "t", "yes", "y", "1") else "off"
+
+
 def train_precull_enabled(cfg, n_rays: int = 0) -> bool:
     """Gating applies only where the gated kernels run: blender orbit
     scenes (origin-centered support cube), the ray-major training-kernel
@@ -43,7 +59,7 @@ def train_precull_enabled(cfg, n_rays: int = 0) -> bool:
     from .step import _supports_pallas_train
 
     n = n_rays or cfg.N_rays
-    return bool(cfg.train_precull
+    return bool(train_precull_mode(cfg) != "off"
                 and cfg.data_type == "blender"
                 and _supports_pallas_train(cfg)
                 and cfg.use_rays_train

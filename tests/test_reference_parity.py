@@ -198,12 +198,16 @@ def test_lr_schedule_parity():
         sched.step()
 
 
-def test_full_render_rays_parity():
-    """End-to-end render-core parity: run the *actual reference*
-    render_rays (nerf_process.py:185) on CPU — cuda devices patched to cpu,
-    torch.rand replaying the exact jitter our JAX path draws, our flax
-    weights injected into the reference torch modules — and compare
-    rgb/disp, coarse and fine, at fp32."""
+def run_render_core_parity(n_rays: int = 64, sc: int = 16, sf: int = 32,
+                           chunk_pts_ours: int | None = None,
+                           chunk_pts_ref: int = 1 << 20):
+    """Render-core comparison shared by test_full_render_rays_parity (small
+    in-suite) and the production-shape artifact (4096 x 64+192, both chunk
+    loops iterating): run the *actual reference* render_rays
+    (nerf_process.py:185) on CPU — cuda devices patched to cpu, torch.rand
+    replaying the exact jitter our JAX path draws, our flax weights
+    injected into the reference torch modules.  Returns
+    {name: (ours, ref)} numpy-array pairs for rgb/disp, coarse and fine."""
     import types
 
     import jax
@@ -216,9 +220,10 @@ def test_full_render_rays_parity():
     ref_np = _load_ref_module("ref_nerf_process2", "nerf_process.py")
     from model.PositionalEncoding import get_positional_encoder
 
-    N, SC, SF = 64, 16, 32
+    N, SC, SF = n_rays, sc, sf
+    extra = {} if chunk_pts_ours is None else {"chunk_pts": chunk_pts_ours}
     cfg = NerfConfig(compute_dtype="float32", N_samples_c=SC, N_samples_f=SF,
-                     near=2.0, far=6.0, use_pallas=False)
+                     near=2.0, far=6.0, use_pallas=False, **extra)
     model, params = init_nerf(cfg, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(7)
@@ -247,7 +252,7 @@ def test_full_render_rays_parity():
 
     opts = types.SimpleNamespace(
         N_samples_c=SC, N_samples_f=SF, near=2.0, far=6.0, perturb=1.0,
-        chunk_pts=1 << 20, gpu_ids=[0], rank=0)
+        chunk_pts=chunk_pts_ref, gpu_ids=[0], rank=0)
 
     fn_x, _ = get_positional_encoder(10)
     fn_d, _ = get_positional_encoder(4)
@@ -271,20 +276,67 @@ def test_full_render_rays_parity():
         torch.device, torch.rand, torch.Tensor.to = (orig_device, orig_rand,
                                                      orig_to)
 
-    np.testing.assert_allclose(np.asarray(ours.rgb_c),
-                               want["rgb_c"].numpy(), rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(ours.disp_c),
-                               want["disp_c"].numpy(), rtol=2e-3, atol=2e-3)
+    return {
+        "rgb_c": (np.asarray(ours.rgb_c), want["rgb_c"].numpy()),
+        "disp_c": (np.asarray(ours.disp_c), want["disp_c"].numpy()),
+        "rgb_f": (np.asarray(ours.rgb_f), want["rgb_f"].numpy()),
+        "disp_f": (np.asarray(ours.disp_f), want["disp_f"].numpy()),
+    }
+
+
+def test_full_render_rays_parity():
+    """End-to-end render-core parity at the small in-suite shape; see
+    run_render_core_parity (the production-shape variant runs in
+    tools/production_parity_artifact.py and the chunked in-suite pin in
+    test_render_core_parity_chunked)."""
+    d = run_render_core_parity()
+    np.testing.assert_allclose(*d["rgb_c"], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(*d["disp_c"], rtol=2e-3, atol=2e-3)
     # the fine pass stacks two MLP evals + resampling on top of fp32
     # matmul association differences between XLA and torch, so its noise
     # floor is a bit higher (observed max ~7.5e-4 on a few elements)
-    np.testing.assert_allclose(np.asarray(ours.rgb_f),
-                               want["rgb_f"].numpy(), rtol=2e-3, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(ours.disp_f),
-                               want["disp_f"].numpy(), rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(*d["rgb_f"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(*d["disp_f"], rtol=5e-3, atol=5e-3)
 
 
-def run_trajectory_parity(steps: int = 100, snapshot_at: int | None = None):
+@pytest.mark.slow
+def test_render_core_parity_chunked():
+    """Production-class render-core pin with BOTH point-chunk loops
+    actually iterating at different boundaries (round-4 VERDICT #1: the
+    r04 parity shapes never crossed either side's chunk boundary).
+    1024 rays x (64 + 192 merged) samples; ours chunk_pts=32768 (coarse
+    2 chunks, fine 6), reference chunk_pts=131072 (fine 2 chunks,
+    nerf_process.py:190-206).  Chunk-boundary math must be invisible:
+    same tolerances as the unchunked small test."""
+    d = run_render_core_parity(n_rays=1024, sc=64, sf=128,
+                               chunk_pts_ours=32768, chunk_pts_ref=131072)
+    np.testing.assert_allclose(*d["rgb_c"], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(*d["disp_c"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(*d["rgb_f"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(*d["disp_f"], rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_training_trajectory_parity_production_chunked():
+    """Trajectory parity at production-class shapes: 1024 rays x
+    (64 + 128 fine) samples, 8x256, fp32, our chunk_pts=65536 (fine pass
+    3 chunks) vs the reference's 131072 (2 chunks) — searchsorted ties at
+    128 fine samples, big-batch statistics, and chunk-boundary autodiff
+    are all live against the reference optimizer loop.  Few steps (the
+    full-scale 50-step run is the artifact,
+    tools/production_parity_artifact.py); bar matches the artifact's:
+    max rel loss dev < 1%."""
+    ours, ref = run_trajectory_parity(steps=4, n_rays=1024, sc=64, sf=128,
+                                      chunk_pts_ours=65536,
+                                      chunk_pts_ref=131072)
+    rel = np.abs(ours - ref) / np.maximum(ref, 1e-12)
+    assert rel.max() < 1e-2, (rel, ours, ref)
+
+
+def run_trajectory_parity(steps: int = 100, snapshot_at: int | None = None,
+                          n_rays: int = 64, sc: int = 16, sf: int = 32,
+                          chunk_pts_ours: int | None = None,
+                          chunk_pts_ref: int = 1 << 20):
     """Run the actual reference optimizer loop (train.py:53-70 +
     main.py:76-90,124-161 — render, MSE_c+MSE_f, Adam(0.9,0.999),
     CosineAnnealingWarmupRestarts) on torch CPU for ``steps`` steps with
@@ -298,8 +350,17 @@ def run_trajectory_parity(steps: int = 100, snapshot_at: int | None = None):
     {"cfg", "batches", "ref_ckpt"} — used by the checkpoint-interop
     mid-training-switch test (tests/test_interop.py).
 
-    Shared by test_training_trajectory_parity (100 steps, in-suite) and
-    tools/trajectory_parity_artifact.py (>=500 steps, drift-curve JSON)."""
+    ``n_rays``/``sc``/``sf`` scale the workload up to the flagship
+    production shapes (4096 rays x 64+128, round-4 VERDICT #1);
+    ``chunk_pts_ours`` sets our cfg.chunk_pts (None = the framework
+    default 262144) and ``chunk_pts_ref`` the reference's point-chunk
+    loop size (nerf_process.py:190-192) — at production shapes BOTH chunk
+    loops actually iterate, with different boundaries, so chunk-boundary
+    math is exercised live on each side.
+
+    Shared by test_training_trajectory_parity (100 steps, in-suite),
+    test_training_trajectory_parity_production_chunked (production-shape
+    pin) and tools/trajectory_parity_artifact.py (drift-curve JSONs)."""
     import types
 
     import jax
@@ -311,11 +372,12 @@ def run_trajectory_parity(steps: int = 100, snapshot_at: int | None = None):
     from model.PositionalEncoding import get_positional_encoder
     from scheduler import CosineAnnealingWarmupRestarts
 
-    N, SC, SF, STEPS = 64, 16, 32, steps
+    N, SC, SF, STEPS = n_rays, sc, sf, steps
+    extra = {} if chunk_pts_ours is None else {"chunk_pts": chunk_pts_ours}
     cfg = NerfConfig(compute_dtype="float32", use_pallas=False,
                      N_rays=N, N_samples_c=SC, N_samples_f=SF,
                      near=2.0, far=6.0, iter_N=STEPS, iter_warmup=10,
-                     lr=5e-4, lr_min=5e-5)
+                     lr=5e-4, lr_min=5e-5, **extra)
     model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
     init_params = state.params
 
@@ -365,7 +427,7 @@ def run_trajectory_parity(steps: int = 100, snapshot_at: int | None = None):
         warmup_steps=cfg.iter_warmup)                # reference main.py:83-90
     opts = types.SimpleNamespace(
         N_samples_c=SC, N_samples_f=SF, near=2.0, far=6.0, perturb=1.0,
-        chunk_pts=1 << 20, gpu_ids=[0], rank=0)
+        chunk_pts=chunk_pts_ref, gpu_ids=[0], rank=0)
     fn_x, _ = get_positional_encoder(10)
     fn_d, _ = get_positional_encoder(4)
     criterion = torch.nn.MSELoss()
