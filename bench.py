@@ -330,8 +330,14 @@ def main():
         gated = bench_train_gated()
         extras["train_gated_hard_ms_per_step"] = round(
             gated["hard"] * 1e3, 2)
+        # the production default (train_precull=auto) runs THIS number
+        # wherever the policy engages (hard/carved content; certified at
+        # 50k-iter scale in docs/artifacts/GATED_POLICY_r05.json) and
+        # the ungated headline elsewhere
         extras["train_gated_hard_rays_per_sec"] = round(
             4096 / gated["hard"], 1)
+        extras["train_gated_hard_vs_baseline"] = round(
+            4096 / gated["hard"] / BASELINE_RAYS_PER_SEC, 3)
         extras["train_gated_hard_gate_frac"] = gated["hard_gate_frac"]
         extras["train_gated_std_ms_per_step"] = round(gated["std"] * 1e3, 2)
         extras["train_gated_std_gate_frac"] = gated["std_gate_frac"]
