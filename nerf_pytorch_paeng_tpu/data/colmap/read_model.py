@@ -160,28 +160,39 @@ def read_cameras_text(path: str) -> Dict[int, Camera]:
 def read_images_text(path: str) -> Dict[int, Image]:
     """images.txt, two lines per image:
     IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME
-    then POINTS2D[] as (X, Y, POINT3D_ID) triplets (may be empty)."""
+    then POINTS2D[] as (X, Y, POINT3D_ID) triplets.
+
+    An image with zero registered 2D points writes an EMPTY points line —
+    it must be consumed as that image's (empty) points record, not
+    skipped, or the header/points alternation desynchronizes on every
+    following image.  Hence raw line iteration here instead of
+    _text_records (which drops blank lines)."""
     images: Dict[int, Image] = {}
     header = None
-    for tok in _text_records(path):
-        if header is None:
-            header = tok
-            continue
-        image_id = int(header[0])
-        pts = np.array([float(t) for t in tok],
-                       np.float64).reshape(-1, 3) if tok else \
-            np.zeros((0, 3))
-        images[image_id] = Image(
-            image_id,
-            np.array([float(q) for q in header[1:5]]),
-            np.array([float(t) for t in header[5:8]]),
-            int(header[8]), " ".join(header[9:]),
-            pts[:, :2], pts[:, 2].astype(np.int64))
-        header = None
+    with open(path) as fp:
+        for line in fp:
+            line = line.strip()
+            if line.startswith("#"):
+                continue
+            if header is None:
+                if not line:
+                    continue        # blank separator between records
+                header = line.split()
+                continue
+            tok = line.split()      # possibly [] (zero-point image)
+            image_id = int(header[0])
+            pts = np.array([float(t) for t in tok],
+                           np.float64).reshape(-1, 3) if tok else \
+                np.zeros((0, 3))
+            images[image_id] = Image(
+                image_id,
+                np.array([float(q) for q in header[1:5]]),
+                np.array([float(t) for t in header[5:8]]),
+                int(header[8]), " ".join(header[9:]),
+                pts[:, :2], pts[:, 2].astype(np.int64))
+            header = None
     if header is not None:
-        # an image header with its points line missing: COLMAP always
-        # writes the second line (possibly empty) — but an empty points
-        # line strips to "" and is skipped by _text_records, so accept it
+        # trailing header whose points line was cut off (EOF): zero points
         image_id = int(header[0])
         images[image_id] = Image(
             image_id,

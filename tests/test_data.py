@@ -204,6 +204,28 @@ def test_colmap_text_parsers_match_binary(tmp_path):
         assert pb[k].point2D_idxs.tolist() == pt[k].point2D_idxs.tolist()
 
 
+def test_colmap_images_text_zero_point_image(tmp_path):
+    """A registered image with ZERO 2D points writes an EMPTY points line;
+    the parser must consume it as that image's record (not skip it and
+    desynchronize the header/points alternation for every image after)."""
+    from nerf_pytorch_paeng_tpu.data.colmap.read_model import (
+        read_images_text)
+    p = tmp_path / "images.txt"
+    p.write_text(
+        "# images\n"
+        "1 1.0 0.0 0.0 0.0 0.1 0.0 1.0 1 empty.png\n"
+        "\n"                                     # zero-point image
+        "2 1.0 0.0 0.0 0.0 0.2 0.0 1.0 1 a b.png\n"  # name with a space
+        "1.0 2.0 7 3.0 4.0 -1\n")
+    ims = read_images_text(str(p))
+    assert set(ims) == {1, 2}
+    assert ims[1].name == "empty.png"
+    assert ims[1].xys.shape == (0, 2) and ims[1].point3D_ids.shape == (0,)
+    assert ims[2].name == "a b.png"
+    np.testing.assert_allclose(ims[2].xys, [[1.0, 2.0], [3.0, 4.0]])
+    assert ims[2].point3D_ids.tolist() == [7, -1]
+
+
 def test_colmap_read_model_dispatch_errors(tmp_path):
     from nerf_pytorch_paeng_tpu.data.colmap.read_model import (
         detect_model_ext, read_model)
